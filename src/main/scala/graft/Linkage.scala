@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.block.{BitBandParams, Blocking, MinhashParams}
+import graft.cand.Candidates
+import graft.core.{BitVector, Hashing}
+import graft.encode.{ClkEncoder, ClkParams}
+import graft.sim.{ClkRow, DiceKernel}
+import graft.solve.{Candidate, ConnectedComponents}
+
+/** One encoded record: identity + CLK + its blocking keys. */
+final case class EncodedRecord(
+    dsetId: Int,
+    recId: Long,
+    url: String,
+    clk: Array[Byte],
+    pop: Int,
+    bandKeys: Array[Long])
+
+/** An exploded + salted blocked row bound for the kernel. */
+final case class BlockedRow(
+    key: Long,
+    salt: Int,
+    dsetId: Int,
+    recId: Long,
+    clk: Array[Byte],
+    pop: Int)
+
+/** Blocking strategy for the pipeline. */
+sealed trait BlockingStrategy
+case class MinhashBlocking(p: MinhashParams = MinhashParams()) extends BlockingStrategy
+case class BitBandBlocking(p: BitBandParams = BitBandParams()) extends BlockingStrategy
+/** Single block — every record compared to every record (the
+  * reference's default when no blocking_f is given,
+  * `/root/reference/anonlink/candidate_generation.py:132-136`).
+  * Quadratic; only for small inputs/tests. */
+case object NoBlocking extends BlockingStrategy
+
+case class LinkageParams(
+    clk: ClkParams = ClkParams(),
+    blocking: BlockingStrategy = MinhashBlocking(),
+    threshold: Double = 0.8,
+    k: Option[Int] = Some(10),
+    /** Max |A|·|B| comparisons per (block, salt) cell before the block
+      * is salted into sub-rectangles — the Spark recast of the
+      * reference's √-tiling `split_to_chunks`
+      * (`/root/reference/anonlink/concurrency.py:39-86`). */
+    pairBudget: Long = 4L * 1000 * 1000,
+    /** Stage-boundary snapshot dir (None → no checkpointing). */
+    checkpointDir: Option[String] = None)
+
+/** The end-to-end linkage pipeline:
+  *
+  * pages → encode (CLK + band keys) → explode band keys → salt skewed
+  * blocks → per-block Dice kernel → dedup + global top-k → candidate
+  * pairs → connected components → clusters.
+  *
+  * The Spark shape of the reference's
+  * `find_candidate_pairs` + `greedy_solve` lifecycle
+  * (`/root/reference/anonlink/candidate_generation.py:94-153`,
+  * SURVEY §3.1).
+  */
+object Linkage {
+
+  /** Deterministic record id from the url (the reference identifies
+    * records by positional index, `typechecking.py:9-11`; Spark has no
+    * stable row order, so identity must be content-derived). */
+  val RecIdSeed = 0x4ec1dL
+  def recId(url: String): Long = Hashing.str(url, RecIdSeed)
+  /** Column form of [[recId]] (UDF — used at boundaries/joins only,
+    * never in the hot scoring path). */
+  def recIdCol(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    udf((u: String) => recId(u)).apply(url)
+
+  /** E1: encode pages into CLKs + blocking keys. One pass over the
+    * text: n-gram hashes feed both the Bloom filter and the minhash
+    * signature. `dsetIdExpr` assigns each page to a dataset (e.g. a
+    * parity split for tests, or a source tag in production). */
+  def encode(
+      pages: DataFrame,
+      params: LinkageParams,
+      dsetIdExpr: org.apache.spark.sql.Column): Dataset[EncodedRecord] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val clkParams = params.clk
+    val blocking = params.blocking
+    // column-pruned input: only url + text (+ dsetId) are read — html
+    // is never touched (scan prunes it from the Parquet read schema).
+    pages
+      .select(col("url"), col("text"), dsetIdExpr.cast("int").as("dsetId"))
+      .as[(String, String, Int)]
+      .mapPartitions { it =>
+        it.map { case (url, text, dsetId) =>
+          val grams = ClkEncoder.ngramHashes(text, clkParams)
+          val clk = ClkEncoder.encodeFromGrams(grams, clkParams)
+          val keys = blocking match {
+            case MinhashBlocking(p) => Blocking.minhashBandKeys(grams, p)
+            case BitBandBlocking(p) => Blocking.bitBandKeys(clk, p)
+            case NoBlocking => Array(0L)
+          }
+          EncodedRecord(dsetId, Hashing.str(url, RecIdSeed), url,
+            BitVector.toBytes(clk), BitVector.popcount(clk), keys)
+        }
+      }
+  }
+
+  /** Explode band keys and salt skewed blocks.
+    *
+    * Salting: per block key, the comparison rectangle |A|×|B| is tiled
+    * into sA×sB cells each within `pairBudget`; A-side rows pick a
+    * deterministic sA-row and replicate across the sB columns, B-side
+    * rows the mirror. Non-skewed keys pass through with salt 0.
+    * Translation of `split_to_chunks`'s bounded-task guarantee
+    * (`concurrency.py:74-86`) into key-space salting.
+    */
+  def blockAndSalt(encoded: Dataset[EncodedRecord], params: LinkageParams): Dataset[BlockedRow] = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+
+    val exploded = encoded
+      .withColumn("key", explode(col("bandKeys")))
+      .select($"key", $"dsetId", $"recId", $"clk", $"pop")
+
+    // per-(key, side) counts; only keys whose pair product exceeds the
+    // budget need salting. This is a cheap aggregate over the exploded
+    // table (map-side combine), collected as a small broadcast map.
+    val budget = params.pairBudget
+    val hot = exploded.groupBy($"key")
+      .agg(
+        sum(when($"dsetId" === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when($"dsetId" =!= 0, 1L).otherwise(0L)).as("n1"))
+      .where($"n0" * $"n1" > budget)
+      .collect()
+      .map { r =>
+        val n0 = r.getLong(1); val n1 = r.getLong(2)
+        val side = math.sqrt(budget.toDouble).toLong max 1L
+        val sA = math.max(1L, math.ceil(n0.toDouble / side).toLong).toInt
+        val sB = math.max(1L, math.ceil(n1.toDouble / side).toLong).toInt
+        r.getLong(0) -> ((sA, sB))
+      }
+      .toMap
+    val hotB = spark.sparkContext.broadcast(hot)
+
+    exploded.as[(Long, Int, Long, Array[Byte], Int)].mapPartitions { it =>
+      val hotMap = hotB.value
+      it.flatMap { case (key, dsetId, recId, clk, pop) =>
+        hotMap.get(key) match {
+          case None => Iterator.single(BlockedRow(key, 0, dsetId, recId, clk, pop))
+          case Some((sA, sB)) =>
+            val own = java.lang.Math.floorMod(Hashing.mix64(recId ^ key), (if (dsetId == 0) sA else sB).toLong).toInt
+            if (dsetId == 0)
+              (0 until sB).iterator.map(j => BlockedRow(key, own * sB + j, dsetId, recId, clk, pop))
+            else
+              (0 until sA).iterator.map(i => BlockedRow(key, i * sB + own, dsetId, recId, clk, pop))
+        }
+      }
+    }
+  }
+
+  /** C1/C2/S2: per-(key,salt) cell, run the packed Dice kernel between
+    * the two datasets' rows (two-party: exactly one dataset pair). */
+  def scorePairs(blocked: Dataset[BlockedRow], params: LinkageParams): DataFrame = {
+    val spark = blocked.sparkSession
+    import spark.implicits._
+    val threshold = params.threshold
+    val k = params.k
+    blocked
+      .groupByKey(r => (r.key, r.salt))
+      .flatMapGroups { (_, rows) =>
+        val a = scala.collection.mutable.ArrayBuffer.empty[ClkRow]
+        val b = scala.collection.mutable.ArrayBuffer.empty[ClkRow]
+        rows.foreach { r =>
+          if (r.dsetId == 0) a += ClkRow(r.recId, r.clk, r.pop)
+          else b += ClkRow(r.recId, r.clk, r.pop)
+        }
+        DiceKernel.blockDiceTopK(a.toArray, b.toArray, threshold, k, 0, 1)
+      }
+      .toDF("sim", "dset0", "dset1", "rec0", "rec1")
+  }
+
+  /** Full candidate generation: encode → block/salt → score → dedup +
+    * global k-enforcement. Returns the candidate-pair DataFrame
+    * (sim, dset0, dset1, rec0, rec1), unsorted (sort is a
+    * presentation property — use Candidates.sorted at boundaries). */
+  def candidatePairs(pages: DataFrame, params: LinkageParams,
+      dsetIdExpr: org.apache.spark.sql.Column): DataFrame = {
+    val spark = pages.sparkSession
+    graft.io.Snapshots.resumeOrCompute(spark, params.checkpointDir, "candidates") {
+      val encoded = encode(pages, params, dsetIdExpr)
+      val blocked = blockAndSalt(encoded, params)
+      val scored = scorePairs(blocked, params)
+      Candidates.finalize(scored, params.k)
+    }
+  }
+
+  /** V2: transitive clustering of the candidate pairs. Returns
+    * (dsetId, recId, clusterId). */
+  def clusters(pairs: DataFrame, params: LinkageParams): DataFrame = {
+    val spark = pairs.sparkSession
+    graft.io.Snapshots.resumeOrCompute(spark, params.checkpointDir, "clusters") {
+      ConnectedComponents.clusterPairs(pairs)
+    }
+  }
+
+  /** End-to-end: pages → clusters (with url identity attached). */
+  def run(pages: DataFrame, params: LinkageParams,
+      dsetIdExpr: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
+    val pairs = candidatePairs(pages, params, dsetIdExpr)
+    (pairs, clusters(pairs, params))
+  }
+
+  /** Driver-side exact solve for small candidate lists (the oracle
+    * path, V1): collect + greedy. */
+  def greedyClusters(pairs: DataFrame): Seq[Seq[graft.solve.Rec]] = {
+    val cands = pairs.select("sim", "dset0", "dset1", "rec0", "rec1")
+      .collect()
+      .map(r => Candidate(r.getDouble(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    graft.solve.Greedy.greedySolve(cands.toSeq)
+  }
+}

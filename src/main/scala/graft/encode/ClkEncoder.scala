@@ -94,9 +94,13 @@ object ClkEncoder {
     else wordNgramHashes(text, p.ngramN, p.seed)
 
   /** Encode text into a packed bloom filter (`Array[Long]`). */
-  def encode(text: String, p: ClkParams): Array[Long] = {
+  def encode(text: String, p: ClkParams): Array[Long] =
+    encodeFromGrams(ngramHashes(text, p), p)
+
+  /** Bloom-insert pre-computed n-gram hashes (shared with minhash
+    * banding so the text is tokenized exactly once per record). */
+  def encodeFromGrams(grams: Array[Long], p: ClkParams): Array[Long] = {
     val words = new Array[Long](p.words)
-    val grams = ngramHashes(text, p)
     val bits = p.bits
     var g = 0
     while (g < grams.length) {

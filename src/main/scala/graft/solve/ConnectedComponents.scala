@@ -1,0 +1,123 @@
+package graft.solve
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed transitive-closure clustering: alternating
+  * large-star / small-star connected components (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) over the
+  * thresholded candidate-pair graph.
+  *
+  * This is the scale path for the reference's greedy solver
+  * (`/root/reference/anonlink/solving/_multiparty_solving_python.py`):
+  * with a high threshold + top-k upstream, greedy solving approaches
+  * the transitive closure of mutual-best edges, and the BASELINE.json
+  * F1 ≥ 0.99 budget absorbs the residual semantic gap (SURVEY §2.5 V2).
+  *
+  * Converges in O(log n) rounds on any graph (no diameter dependence —
+  * a chain of length n labels in ~log n rounds, unlike naive label
+  * propagation). Each round is two self-joins; intermediate results are
+  * checkpointed to truncate lineage, and each round's edge count is an
+  * accumulator-style metric surfaced to the caller.
+  */
+object ConnectedComponents {
+
+  /** @param edges DataFrame with two Long columns `src`, `dst`
+    *              (node ids; self-loops/duplicates tolerated).
+    * @param maxIterations safety bound (log2(n) rounds expected).
+    * @return DataFrame (node long, component long) where component is
+    *         the minimum node id in the node's component. Includes
+    *         every node that appears in any edge.
+    */
+  def run(
+      edges: DataFrame,
+      maxIterations: Int = 50,
+      onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    var e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst"))
+      .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      // --- large-star: for each node u, connect every strictly-larger
+      // neighbor to the minimum of Γ(u) ∪ {u}.
+      val sym = e.select($"src".as("u"), $"dst".as("v"))
+        .union(e.select($"dst".as("u"), $"src".as("v")))
+      val mins = sym.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
+      val large = sym.join(mins, "u")
+        .where($"v" > $"u")
+        .select(least($"v", $"m").as("src"), greatest($"v", $"m").as("dst"))
+        .where($"src" =!= $"dst")
+        .distinct()
+
+      // --- small-star: orient edges to the smaller endpoint; for each
+      // node u, connect all not-larger neighbors (and u) to the min.
+      val smallSym = large.select($"dst".as("u"), $"src".as("v")) // v <= u by construction
+      val minsS = smallSym.groupBy($"u").agg(min($"v").as("m"))
+      val small = smallSym.join(minsS, "u")
+        .select($"v", $"u", $"m")
+        .flatMap { row =>
+          val v = row.getLong(0); val u = row.getLong(1); val m = row.getLong(2)
+          // connect v→m for all neighbors v, and u→m
+          if (v == m) Iterator((u, m)) else Iterator((v, m), (u, m))
+        }
+        .toDF("a", "b")
+        .select(least($"a", $"b").as("src"), greatest($"a", $"b").as("dst"))
+        .where($"src" =!= $"dst")
+        .distinct()
+        .localCheckpoint(true)
+
+      // convergence: edge multiset unchanged
+      val before = e.count()
+      val after = small.count()
+      val changed =
+        if (before != after) true
+        else small.exceptAll(e).isEmpty == false
+      onRound(iter, after)
+      e = small
+      converged = !changed
+      iter += 1
+    }
+
+    // After convergence each edge is (root, member); roots self-map.
+    val members = e.select($"dst".as("node"), $"src".as("component"))
+    val roots = e.select($"src".as("node"), $"src".as("component")).distinct()
+    members.union(roots).distinct()
+  }
+
+  /** Convenience: cluster candidate pairs (dset0,dset1,rec0,rec1) into
+    * (dsetId, recId, clusterId). Node ids are packed via a mixing of
+    * (dsetId, recId); the caller keeps a vertex table for the reverse
+    * mapping. */
+  def clusterPairs(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val nodeId0 = Encoding.nodeIdCol(col("dset0"), col("rec0"))
+    val nodeId1 = Encoding.nodeIdCol(col("dset1"), col("rec1"))
+    val vertices = pairs.select(col("dset0").as("dsetId"), col("rec0").as("recId"))
+      .union(pairs.select(col("dset1"), col("rec1")))
+      .distinct()
+      .withColumn("node", Encoding.nodeIdCol($"dsetId", $"recId"))
+    val edges = pairs.select(nodeId0.as("src"), nodeId1.as("dst"))
+    val comps = run(edges, maxIterations)
+    vertices.join(comps, "node")
+      .select($"dsetId", $"recId", $"component".as("clusterId"))
+  }
+
+  object Encoding {
+    import org.apache.spark.sql.Column
+    /** node id = (dsetId << 56) XOR mix of recId — dsetId is tiny
+      * (2-party scope) while recId is a 64-bit hash; xor keeps ids
+      * distinct across datasets with negligible collision odds. The
+      * same expression must be used everywhere (pure Column arithmetic,
+      * codegen'd). */
+    def nodeIdCol(dset: Column, rec: Column): Column =
+      shiftleft(dset.cast("long") + 1, 56).bitwiseXOR(rec)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.solve.ConnectedComponents
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** Driver-side union-find oracle. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // canonical label: min node in component
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, ns) => val m = ns.min; ns.map(_ -> m) }.toMap
+  }
+
+  private def runCC(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.run(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("long chain labels to the minimum (diameter >> rounds)") {
+    val chain = (0L until 200L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = runCC(chain)
+    assert(got.size == 200)
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("two components + self-loops + duplicate edges") {
+    val edges = Seq((5L, 3L), (3L, 5L), (7L, 7L), (3L, 9L), (20L, 30L), (30L, 25L), (25L, 20L))
+    val got = runCC(edges)
+    assert(got(5L) == 3L && got(9L) == 3L && got(3L) == 3L)
+    assert(got(20L) == 20L && got(25L) == 20L && got(30L) == 20L)
+    // 7 had only a self-loop: dropped from the edge set entirely
+    assert(!got.contains(7L))
+  }
+
+  test("random graphs match union-find oracle") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 5) {
+      val n = 60
+      val edges = (1 to 80).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val got = runCC(edges)
+      val want = unionFind(edges)
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("clusterPairs maps (dset, rec) nodes back correctly") {
+    val pairs = Seq(
+      (0.9, 0, 1, 10L, 20L),
+      (0.8, 0, 1, 11L, 20L),
+      (0.7, 0, 1, 30L, 40L))
+      .toDF("sim", "dset0", "dset1", "rec0", "rec1")
+    val cl = ConnectedComponents.clusterPairs(pairs)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(cl.size == 5)
+    // {(0,10),(0,11),(1,20)} together; {(0,30),(1,40)} together
+    assert(cl((0, 10L)) == cl((1, 20L)) && cl((0, 11L)) == cl((1, 20L)))
+    assert(cl((0, 30L)) == cl((1, 40L)))
+    assert(cl((0, 10L)) != cl((0, 30L)))
+  }
+}
