@@ -159,8 +159,12 @@ object Linkage {
   }
 
   /** C1/C2/S2: per-(key,salt) cell, run the packed Dice kernel between
-    * the two datasets' rows (two-party: exactly one dataset pair). */
-  def scorePairs(blocked: Dataset[BlockedRow], params: LinkageParams): DataFrame = {
+    * the two datasets' rows (two-party: exactly one dataset pair).
+    * `comparisons`, when given, counts |A|·|B| per cell — the same
+    * "comparisons" metric the reference benchmark reports
+    * (`/root/reference/anonlink/benchmark.py:66`). */
+  def scorePairs(blocked: Dataset[BlockedRow], params: LinkageParams,
+      comparisons: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = blocked.sparkSession
     import spark.implicits._
     val threshold = params.threshold
@@ -174,9 +178,37 @@ object Linkage {
           if (r.dsetId == 0) a += ClkRow(r.recId, r.clk, r.pop)
           else b += ClkRow(r.recId, r.clk, r.pop)
         }
+        comparisons.foreach(_.add(a.length.toLong * b.length))
         DiceKernel.blockDiceTopK(a.toArray, b.toArray, threshold, k, 0, 1)
       }
       .toDF("sim", "dset0", "dset1", "rec0", "rec1")
+  }
+
+  /** Shuffle-free all-pairs scoring: pack + broadcast the small side,
+    * stream the big side through `mapPartitions` — the Spark-idiomatic
+    * plan when one side fits in executor memory (broadcast nested-loop
+    * with the Dice kernel as the theta-predicate). Per-left top-k here
+    * spans the WHOLE right side, exactly like the reference's
+    * one-against-many kernel (`dice.cpp:518`). */
+  def scoreAgainstBroadcast(
+      a: Dataset[ClkRow],
+      bRows: Array[ClkRow],
+      params: LinkageParams,
+      comparisons: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val threshold = params.threshold
+    val k = params.k
+    val bc = spark.sparkContext.broadcast(new DiceKernel.Packed(bRows))
+    a.mapPartitions { it =>
+      val aArr = it.toArray
+      if (aArr.isEmpty) Iterator.empty
+      else {
+        val b = bc.value
+        comparisons.foreach(_.add(aArr.length.toLong * b.n))
+        DiceKernel.blockDiceTopKPacked(new DiceKernel.Packed(aArr), b, threshold, k, 0, 1)
+      }
+    }.toDF("sim", "dset0", "dset1", "rec0", "rec1")
   }
 
   /** Full candidate generation: encode → block/salt → score → dedup +
