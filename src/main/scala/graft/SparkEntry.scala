@@ -163,6 +163,92 @@ object SparkEntry {
       t(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
+    }),
+    "q_ngram_jaccard" -> ((s, dir) => {
+      // exact n-gram Jaccard near-dup pairs via a gram inverted index —
+      // pure Column ops (split/transform/explode), codegen'd end to end
+      val grams = t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .where(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))).as("g"))
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = grams.as("a").join(grams.as("b"), "g")
+        .where(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id0"), col("b.doc_id").as("id1"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("id0"), col("n").as("n0")), "id0")
+        .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+        .withColumn("jaccard", col("inter") * 1.0 / (col("n0") + col("n1") - col("inter")))
+        .where(col("jaccard") >= 0.3)
+        .select("id0", "id1", "jaccard")
+    }),
+    "q_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        ops.TextOps.qualityScore(col("text")).as("quality"))
+    }),
+    "q_subword_count" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        ops.TextOps.subwordCountApproxCol(col("text")).as("n_subwords"))
+    }),
+    "q_cumul_hist" -> ((s, dir) => {
+      // T3: reverse cumulative counts vs threshold (window over T1 hist)
+      val hist = t(s, dir, "lineitem")
+        .groupBy(floor(col("l_discount") * 20).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      hist.withColumn("cumul", sum("n").over(
+        Window.orderBy(desc("bucket")).rowsBetween(Window.unboundedPreceding, 0)))
+    }),
+
+    // ---- training-data ops over documents/embeddings (rows-only) ----
+    "dedup_minhash" -> ((s, dir) =>
+      ops.Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+        jaccardThreshold = 0.3)),
+    "dedup_simhash" -> ((s, dir) =>
+      ops.Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")),
+    "embed_neardup" -> ((s, dir) =>
+      // the driver's embeddings table has no true near-identical pairs
+      // (max pairwise cosine ≈ 0.48) — 0.3 exercises the operator on
+      // the top of its similarity distribution
+      ops.Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        cosineThreshold = 0.3, planes = 2)),
+    "ann_brute_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ops.Ann.bruteForceTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    }),
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ops.Ann.lshTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    }),
+    "text_langid" -> ((s, dir) =>
+      ops.TextOps.withLangId(t(s, dir, "documents"), "text")
+        .select("doc_id", "lang_pred", "lang_score")),
+    "text_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .map { case (id, txt) =>
+          (id, ops.TextOps.docFingerprint(txt), ops.TextOps.simhash(txt))
+        }.toDF("doc_id", "fingerprint", "simhash")
+    }),
+    "multimodal_features" -> ((s, dir) => {
+      // binary media column derived from text bytes (no codecs in this
+      // sandbox — decode is stubbed, plumbing is real; see ops.Multimodal)
+      val media = t(s, dir, "documents").select(col("doc_id").as("id"),
+        encode(col("text"), "UTF-8").as("media"), lit("text/html").as("mime"))
+      import s.implicits._
+      ops.Multimodal.extractFeatures(ops.Multimodal.asMedia(media, "id", "media", "mime")).toDF()
+    }),
+    "smc_pairs" -> ((s, _) => {
+      // S6: SMC similarity with both-sides top-k over the linkage corpus
+      val enc = Linkage.encode(corpus(s), linkParams, col("dsetId"))
+      val blocked = Linkage.blockAndSalt(enc, linkParams)
+      ops.Smc.bothSidesTopK(ops.Smc.scorePairs(blocked, 0.75, 1024), 5)
+    }),
+    "linkage_hist" -> ((s, _) => {
+      // T1 similarity histogram over the pipeline's candidate pairs
+      val pairs = Linkage.candidatePairs(corpus(s), linkParams, col("dsetId"))
+      ops.Stats.similaritiesHist(pairs, bins = 20, lo = 0.75, hi = 1.0)
     })
   )
 
@@ -214,6 +300,37 @@ object SparkEntry {
         | FROM documents GROUP BY lang""".stripMargin,
     "q_window_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
-        | FROM events GROUP BY 1, 2""".stripMargin
+        | FROM events GROUP BY 1, 2""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | d3 AS (SELECT doc_id, w FROM d WHERE len(w) >= 3),
+        | grams AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |           FROM d3, unnest(range(1, len(w) - 1)) AS t(i)),
+        | sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        | inter AS (SELECT a.doc_id AS id0, b.doc_id AS id1, count(*) AS inter
+        |           FROM grams a JOIN grams b USING (g)
+        |           WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        | SELECT id0, id1, inter * 1.0 / (s0.n + s1.n - inter) AS jaccard
+        | FROM inter JOIN sizes s0 ON id0 = s0.doc_id JOIN sizes s1 ON id1 = s1.doc_id
+        | WHERE inter * 1.0 / (s0.n + s1.n - inter) >= 0.3""".stripMargin,
+    "q_quality_score" ->
+      """SELECT doc_id, round(
+        |   least((length(text) - length(replace(text, ' ', '')) + 1) / 50.0, 1.0)
+        |   * greatest(0.0, 1.0 - (length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+        |       / greatest(length(text), 1)) * 5.0)
+        |   * greatest(0.0, 1.0 - (length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+        |       / greatest(length(text), 1)) * 5.0), 6) AS quality
+        | FROM documents""".stripMargin,
+    "q_subword_count" ->
+      """SELECT doc_id,
+        |  (length(text) - length(replace(text, ' ', '')) + 1)
+        |  + greatest(0, ((length(text) - (length(text) - length(replace(text, ' ', '')))) -
+        |     (length(text) - length(replace(text, ' ', '')) + 1) * 6) // 6) AS n_subwords
+        | FROM documents""".stripMargin,
+    "q_cumul_hist" ->
+      """SELECT bucket, n, CAST(sum(n) OVER (ORDER BY bucket DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumul
+        | FROM (SELECT CAST(floor(l_discount * 20) AS BIGINT) AS bucket, count(*) AS n
+        |       FROM lineitem GROUP BY 1)""".stripMargin
   )
 }

@@ -62,6 +62,13 @@ object BitVector {
     s
   }
 
+  /** XOR-popcount over a window of a flattened matrix. */
+  @inline def xorPopcountFlat(a: Array[Long], flat: Array[Long], off: Int, width: Int): Int = {
+    var s = 0; var i = 0
+    while (i < width) { s += java.lang.Long.bitCount(a(i) ^ flat(off + i)); i += 1 }
+    s
+  }
+
   /** AND-popcount over a window of a flattened matrix: rows packed
     * back-to-back in `flat`, row `row` starting at `row*width`. The
     * cache-linear layout mirrors `/root/reference/anonlink/similarities/_dice_x86.py:94-97`. */

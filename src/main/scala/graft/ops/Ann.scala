@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.core.Hashing
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the queries,
+  *    stream the corpus through `mapPartitions`, per-query bounded
+  *    heap merged across partitions by a rank window. The baseline.
+  *  - [[lshTopK]]: random-hyperplane LSH buckets (sign-bit sketch);
+  *    probes only the query's bucket — the scale path, with recall
+  *    measured against brute force in the test suite.
+  */
+object Ann {
+
+  /** Deterministic random hyperplanes: plane p, dim d → N(0,1)-ish via
+    * a pair of uniform hashes (Box-Muller is overkill; a sum of 4
+    * uniforms is symmetric and plenty for sign-bucketing). */
+  def planeComponent(plane: Int, dim: Int, seed: Long): Double = {
+    var s = 0.0
+    var t = 0
+    while (t < 4) {
+      s += Hashing.toUnitDouble(Hashing.mix64(Hashing.combine(Hashing.combine(seed, plane.toLong), dim.toLong * 4 + t))) - 0.5
+      t += 1
+    }
+    s
+  }
+
+  /** Sign-bit bucket key of a vector under `planes` hyperplanes. */
+  def hyperplaneKey(vec: Array[Float], planes: Int, seed: Long): Long = {
+    var key = 0L
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var d = 0
+      while (d < vec.length) { dot += vec(d) * planeComponent(p, d, seed); d += 1 }
+      if (dot > 0) key |= 1L << p
+      p += 1
+    }
+    key
+  }
+
+  /** Exact dot product of two equal-length float vectors, accumulated
+    * in double left-to-right (deterministic). */
+  val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, v) =>
+        val arr = v.toArray
+        var norm = 0.0
+        var i = 0
+        while (i < arr.length) { norm += arr(i).toDouble * arr(i); i += 1 }
+        val inv = if (norm > 0) 1.0 / math.sqrt(norm) else 0.0
+        (id, arr.map(x => (x * inv).toFloat))
+      }
+      .toDF("id", "unit")
+  }
+
+  /** Exact cosine top-k of every query against the corpus.
+    * Queries are collected + broadcast (top-k search is almost always
+    * few-queries-vs-huge-corpus; for corpus×corpus use
+    * [[Dedup.embeddingNearDup]]). Returns (query_id, id, cosine, rank). */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows = normalized(queries, idCol, vecCol)
+      .as[(Long, Seq[Float])].collect().map { case (id, v) => (id, v.toArray) }
+    val bc = spark.sparkContext.broadcast(qRows)
+    val partTopK = normalized(corpus, idCol, vecCol).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        // per-query bounded heap over this partition's corpus slice
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.by { case (c, id) => (-c, id) })) // worst on top
+        it.foreach { case (id, unit) =>
+          val v = unit.toArray
+          var qi = 0
+          while (qi < qs.length) {
+            val q = qs(qi)._2
+            var dot = 0.0
+            var d = 0
+            val n = math.min(q.length, v.length)
+            while (d < n) { dot += q(d).toDouble * v(d); d += 1 }
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((dot, id))
+            else if (dot > h.head._1 || (dot == h.head._1 && id < h.head._2)) {
+              h.dequeue(); h.enqueue((dot, id))
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (c, id) => (qs(qi)._1, id, c) }
+        }
+      }
+      .toDF("query_id", "id", "cosine")
+    // merge partition-local top-k into global top-k per query
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cosine"), asc("id"))
+    partTopK.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** LSH-bucketed top-k: `tables` independent hyperplane tables; probe
+    * the union of the query's buckets. Each table touches
+    * ~1/2^planes of the corpus; recall grows with tables (the classic
+    * storage-vs-recall LSH tradeoff). */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Int = 6,
+      tables: Int = 4,
+      seed: Long = 0xa55eedL): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def keysOf(v: Array[Float]): Seq[(Int, Long)] =
+      (0 until tables).map(t => (t, hyperplaneKey(v, planes, Hashing.combine(seed, t.toLong))))
+    val keyed = normalized(corpus, idCol, vecCol).as[(Long, Seq[Float])]
+      .flatMap { case (id, v) => keysOf(v.toArray).map { case (t, b) => (id, v, t, b) } }
+      .toDF("id", "unit", "table", "bucket")
+    val qKeyed = normalized(queries, idCol, vecCol).as[(Long, Seq[Float])]
+      .flatMap { case (id, v) => keysOf(v.toArray).map { case (t, b) => (id, v, t, b) } }
+      .toDF("query_id", "qunit", "table", "bucket")
+    val scored = qKeyed.join(keyed, Seq("table", "bucket"))
+      .select(col("query_id"), col("id"), col("qunit"), col("unit"))
+      .dropDuplicates("query_id", "id") // same pair can collide in many tables
+      .withColumn("cosine", dotUdf(col("qunit"), col("unit")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cosine"), asc("id"))
+    scored.select("query_id", "id", "cosine")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+}

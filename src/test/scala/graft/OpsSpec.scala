@@ -1,0 +1,277 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.BitVector
+import graft.ops._
+import graft.sim.{ClkRow, SmcKernel}
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // ---------------- SMC ----------------
+
+  test("smc 2-bit truth table (ref test_similarity_smc.py:14-37)") {
+    // bitarray('01') = bit0 unset, bit1 set (big-endian strings); only
+    // XOR counts matter so we model via explicit words.
+    def ba(s: String): Array[Long] = {
+      val arr = new Array[Long](1)
+      s.zipWithIndex.foreach { case (c, i) => if (c == '1') BitVector.setBit(arr, i) }
+      arr
+    }
+    val bits2 = Seq("00", "01", "10", "11")
+    for (x <- bits2; y <- bits2) {
+      val expected = 1.0 - x.zip(y).count { case (a, b) => a != b }.toDouble / 2
+      assert(BitVector.smc(ba(x), ba(y), 2) == expected, s"$x vs $y")
+    }
+  }
+
+  test("smc kernel == naive oracle") {
+    val rnd = new scala.util.Random(5)
+    def mk(n: Int) = (0 until n).map { _ =>
+      val arr = Array.fill(16)(rnd.nextLong())
+      (rnd.nextLong(), arr)
+    }
+    val a = mk(30); val b = mk(40)
+    for (t <- Seq(0.0, 0.45, 0.55, 1.0)) {
+      val got = SmcKernel.blockSmc(
+        a.map { case (id, w) => ClkRow(id, BitVector.toBytes(w), BitVector.popcount(w)) }.toArray,
+        b.map { case (id, w) => ClkRow(id, BitVector.toBytes(w), BitVector.popcount(w)) }.toArray,
+        t, 1024, 0, 1).toSeq.sorted(graft.solve.Candidate.globalOrdering)
+      val want = SmcKernel.naiveSmc(a, b, t, 1024).sorted(graft.solve.Candidate.globalOrdering)
+      assert(got == want, s"t=$t")
+    }
+  }
+
+  test("smc both-sides top-k: pair kept iff in top-k of both sides (ref _smc.py:61-66)") {
+    // records: left {1,2}, right {10,11}. sims chosen so (2,10) is
+    // top-1 for rec0=2 but rank-2 for rec1=10 -> dropped at k=1.
+    val pairs = Seq(
+      (0.9, 0, 1, 1L, 10L),
+      (0.8, 0, 1, 2L, 10L),
+      (0.7, 0, 1, 2L, 11L)).toDF("sim", "dset0", "dset1", "rec0", "rec1")
+    // hand-traced reference semantics (_smc.py:51-66): top-1 per left =
+    // {(.9,1,10),(.8,2,10)}; top-1 per right = {(.9,1,10),(.7,2,11)};
+    // pair_counter==2 only for (.9,1,10).
+    val k1 = Smc.bothSidesTopK(pairs, 1).collect().map(r => (r.getDouble(0), r.getLong(3), r.getLong(4))).toSet
+    assert(k1 == Set((0.9, 1L, 10L)))
+    val k2 = Smc.bothSidesTopK(pairs, 2).count()
+    assert(k2 == 3)
+  }
+
+  // ---------------- dedup ----------------
+
+  private lazy val docs = {
+    // planted duplicates: 30 entities x 1-4 variants (perturbed), plus
+    // exact copies of entity 0's base text
+    val base = graft.gen.Corpus.labeledPages(spark,
+      graft.gen.Corpus.Params(entities = 30L, seed = 3L, minVariants = 1, maxVariants = 4))
+      .select(monotonically_increasing_id().as("tmp"), col("text"), col("entityId"))
+    base.select((xxhash64(col("text")) % 100000).as("salt"), col("text"), col("entityId"))
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("entityId", "text")).cast("long"))
+      .select("id", "text", "entityId")
+      .cache()
+  }
+
+  test("exact dedup groups identical texts only") {
+    val withCopies = docs.select($"id", $"text")
+      .union(docs.where($"id" <= 3).select($"id" + 1000, $"text"))
+    val res = Dedup.exact(withCopies, "id", "text")
+    val dups = res.where($"n_copies" > 1)
+    assert(dups.count() == 3)
+    assert(dups.agg(max("n_copies")).head.getLong(0) == 2)
+    // keepers are the original (min) ids
+    assert(dups.select("keeper").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("minhash LSH dedup clusters planted variants; no cross-entity merges") {
+    val res = Dedup.minhashLsh(docs, "id", "text", jaccardThreshold = 0.35).cache()
+    val joined = res.join(docs.select($"id", $"entityId"), "id")
+    // no cluster spans two entities (precision)
+    val span = joined.groupBy("clusterId").agg(countDistinct("entityId").as("ents"))
+    assert(span.agg(max("ents")).head.getLong(0) == 1L)
+    // most multi-variant entities collapse into one cluster (recall);
+    // 10% word perturbation => jaccard ~0.45-0.75 between variants
+    val entClusters = joined.groupBy("entityId")
+      .agg(countDistinct("clusterId").as("nc"), count(lit(1)).as("nv"))
+    val multi = entClusters.where($"nv" > 1).collect()
+    val collapsed = multi.count(r => r.getLong(1) < r.getLong(2))
+    assert(collapsed >= (multi.length * 0.8).toInt,
+      s"only $collapsed/${multi.length} multi-variant entities partially collapsed")
+  }
+
+  test("simhash dedup finds exact and near-exact copies") {
+    val withCopies = docs.select($"id", $"text")
+      .union(docs.where($"id" <= 5).select($"id" + 1000, $"text"))
+    val res = Dedup.simhash(withCopies, "id", "text", maxHamming = 3)
+    val clusters = res.groupBy("clusterId").agg(count(lit(1)).as("n")).where($"n" > 1)
+    assert(clusters.count() >= 5) // at least the exact copies cluster
+    // exact copies must share a cluster
+    val byId = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 5L).foreach(i => assert(byId(i) == byId(i + 1000), s"copy of $i not clustered"))
+  }
+
+  test("ngram jaccard pairs match a brute-force oracle") {
+    val sample = docs.where($"id" <= 40).cache()
+    val got = Dedup.ngramJaccardPairs(sample, "id", "text", threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // brute force on the driver
+    val texts = sample.select("id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val gramsById = texts.map { case (id, t) =>
+      id -> graft.encode.ClkEncoder.wordNgramHashes(t, 3, 0x9a33L).distinct.toSet
+    }.toMap
+    val want = (for {
+      (i, gi) <- gramsById.toSeq
+      (j, gj) <- gramsById.toSeq
+      if i < j
+      inter = gi.intersect(gj).size
+      union = gi.size + gj.size - inter
+      jac = if (union == 0) 1.0 else inter.toDouble / union
+      if jac >= 0.3
+    } yield ((i, j), jac)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12) }
+  }
+
+  test("embedding near-dup finds planted near-identical vectors") {
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 50).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    // plant: vec 100+i = tiny perturbation of vec i for i < 5
+    val planted = (0 until 5).map(i =>
+      (100L + i, base(i)._2.map(x => x + 0.001f * rnd.nextGaussian().toFloat)))
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(df, "vec_id", "embedding", cosineThreshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach(i => assert(pairs.contains((i.toLong, 100L + i)), s"missed planted pair $i"))
+  }
+
+  // ---------------- ANN ----------------
+
+  private lazy val embeddings = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("brute-force cosine top-k matches a driver oracle") {
+    val queries = embeddings.where($"vec_id" < 3)
+    val got = Ann.bruteForceTopK(embeddings, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(x => (-x._3, x._2)).map(_._2)).toMap
+
+    val all = embeddings.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def unit(v: Array[Float]) = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val qs = all.filter(_._1 < 3).map { case (id, v) => (id, unit(v)) }
+    val corpus = all.map { case (id, v) => (id, unit(v)) }
+    val want = qs.map { case (qid, q) =>
+      qid -> corpus.map { case (id, v) =>
+        (id, q.zip(v).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+      }.sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
+    }.toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (qid, ids) => assert(got(qid) == ids, s"query $qid") }
+  }
+
+  test("LSH top-k: self is always found; decent recall vs brute force") {
+    val queries = embeddings.where($"vec_id" < 20)
+    val brute = Ann.bruteForceTopK(embeddings, queries, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(embeddings, queries, "vec_id", "embedding", k = 3, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // self-match must always survive (same bucket by construction)
+    (0L until 20L).foreach(q => assert(lsh.contains((q, q)), s"self-match $q missing"))
+    val recall = lsh.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall=$recall") // 4 planes, labeled clusters
+  }
+
+  // ---------------- text ops ----------------
+
+  test("language ID: marker words and CJK detection") {
+    val df = Seq(
+      (1L, "the cat and the dog sat in the garden with all of them"),
+      (2L, "le chat et le chien sont dans le jardin avec des fleurs"),
+      (3L, "中文文本处理测试样例"),
+      (4L, "qwerty zxcvb asdfgh")).toDF("doc_id", "text")
+    val got = TextOps.withLangId(df, "text").select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "fr")
+    assert(got(3L) == "zh")
+    assert(got(4L) == "und")
+  }
+
+  test("quality score and token counts are deterministic Column math") {
+    val df = Seq((1L, "good clean text with many proper words here today"),
+      (2L, "1 2 3 4 5 6 7 8 9"), (3L, "x")).toDF("doc_id", "text")
+    val asMap = df.select($"doc_id", TextOps.tokenCountCol($"text").as("n"),
+      TextOps.qualityScore($"text").as("q")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(asMap(1L)._1 == 9L)
+    assert(asMap(2L)._1 == 9L)
+    assert(asMap(3L)._1 == 1L)
+    assert(asMap(1L)._2 > asMap(2L)._2) // digit-heavy text penalized
+  }
+
+  test("fingerprints: exact dups identical, different docs differ; simhash near for near-dups") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "alpha beta gamma delta epsilon zeta eta theta iota kappz"
+    val c = "totally different content everywhere in this document body"
+    assert(TextOps.docFingerprint(a) == TextOps.docFingerprint(a))
+    assert(TextOps.docFingerprint(a) != TextOps.docFingerprint(b))
+    val hab = java.lang.Long.bitCount(TextOps.simhash(a) ^ TextOps.simhash(b))
+    val hac = java.lang.Long.bitCount(TextOps.simhash(a) ^ TextOps.simhash(c))
+    assert(hab < hac, s"simhash hamming near=$hab far=$hac")
+    assert(TextOps.bottomKSketch(a).toSeq == TextOps.bottomKSketch(a).toSeq)
+  }
+
+  // ---------------- multimodal ----------------
+
+  test("multimodal: batched feature extraction + frame sampling plumbing") {
+    val media = Seq(
+      (1L, "binary image payload one".getBytes, "image/png"),
+      (2L, "another longer binary audio payload with more bytes".getBytes, "audio/wav"),
+      (3L, Array.empty[Byte], "video/mp4")).toDF("id", "media", "mime")
+    val feats = Multimodal.extractFeatures(Multimodal.asMedia(media, "id", "media", "mime"))
+    val rows = feats.collect().map(f => f.id -> f).toMap
+    assert(rows(1L).features.length == Multimodal.FeatureDim)
+    assert(math.abs(rows(1L).features.sum - 1.0f) < 1e-4) // normalized histogram
+    assert(rows(3L).n_bytes == 0L && rows(3L).features.forall(_ == 0.0f))
+    // determinism
+    val again = Multimodal.extractFeatures(Multimodal.asMedia(media, "id", "media", "mime"))
+      .collect().map(f => f.id -> f.features.toSeq).toMap
+    assert(again(2L) == rows(2L).features.toSeq)
+    val frames = Multimodal.sampleFrames(Multimodal.asMedia(media, "id", "media", "mime"), 4)
+    assert(frames.where($"id" === 2L).count() == 4)
+    assert(frames.where($"id" === 3L).count() == 0) // empty media -> no frames
+  }
+
+  // ---------------- stats ----------------
+
+  test("similarities_hist matches manual binning; cumulative is reverse cumsum") {
+    val pairs = Seq(0.71, 0.75, 0.80, 0.85, 0.99, 1.0)
+      .zipWithIndex.map { case (s, i) => (s, 0, 1, i.toLong, i.toLong + 100) }
+      .toDF("sim", "dset0", "dset1", "rec0", "rec1")
+    val hist = Stats.similaritiesHist(pairs, bins = 3, lo = 0.7, hi = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(0L -> 2L, 1L -> 2L, 2L -> 2L)) // 1.0 closed into last bin
+    val cumul = Stats.cumulativeCounts(pairs, 3, 0.7, 1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cumul(2L) == 2L && cumul(1L) == 4L && cumul(0L) == 6L)
+  }
+
+  test("matches/nonmatches greedy sweep (T2) and nonmatch index (T4)") {
+    import graft.solve.Candidate
+    val sorted = Seq(
+      Candidate(0.95, 0, 1, 1L, 1L),
+      Candidate(0.90, 0, 1, 2L, 2L),
+      Candidate(0.85, 0, 1, 1L, 2L), // both endpoints taken -> nonmatch
+      Candidate(0.80, 0, 1, 3L, 3L))
+    val (m, n) = Stats.matchesNonmatchesHist(sorted, bins = 2, lo = 0.8, hi = 1.0)
+    assert(m.sum == 3 && n.sum == 1)
+    assert(Stats.nonmatchIndexScore(sorted, 1) == 2)
+    assert(Stats.nonmatchIndexScore(sorted, 2) == -1)
+  }
+}
