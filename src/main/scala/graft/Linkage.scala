@@ -218,8 +218,17 @@ object Linkage {
   def candidatePairs(pages: DataFrame, params: LinkageParams,
       dsetIdExpr: org.apache.spark.sql.Column): DataFrame = {
     val spark = pages.sparkSession
+    import spark.implicits._
     graft.io.Snapshots.resumeOrCompute(spark, params.checkpointDir, "candidates") {
-      val encoded = encode(pages, params, dsetIdExpr)
+      // blockAndSalt scans the encoded records twice (hot-key census +
+      // salted explode). With a checkpoint dir the encode stage is
+      // snapshotted so both passes read Parquet instead of re-encoding;
+      // without one (tests/small runs) the double encode is accepted.
+      val encoded = graft.io.Snapshots
+        .resumeOrCompute(spark, params.checkpointDir, "encoded") {
+          encode(pages, params, dsetIdExpr).toDF()
+        }
+        .as[EncodedRecord]
       val blocked = blockAndSalt(encoded, params)
       val scored = scorePairs(blocked, params)
       Candidates.finalize(scored, params.k)

@@ -172,3 +172,27 @@ object LoopLab {
     }
   }
 }
+
+/** Plan-inspection main: dump formatted plans for the key pipeline
+  * stages so column pruning / pushdown / join strategies are auditable. */
+object PlanLab {
+  def main(args: Array[String]): Unit = {
+    val spark = PerfLab.session(8)
+    import org.apache.spark.sql.functions._
+    // write a real pages parquet so scan pruning is observable
+    val dir = java.nio.file.Files.createTempDirectory("pages").toString
+    graft.gen.Corpus.labeledPages(spark, graft.gen.Corpus.Params(entities = 200L))
+      .write.mode("overwrite").parquet(dir)
+    val pages = spark.read.parquet(dir)
+    val params = graft.LinkageParams()
+    println("=== encode scan (expect ReadSchema WITHOUT html/warc_ts/lang) ===")
+    graft.Linkage.encode(pages, params, col("dsetId")).explain("formatted")
+    println("=== candidatePairs plan ===")
+    graft.Linkage.candidatePairs(pages, params, col("dsetId")).explain("formatted")
+    println("=== q_join_agg (expect BroadcastHashJoin) ===")
+    graft.SparkEntry.queries("q_join_agg")(spark, "/root/testdata/sf0.001").explain("formatted")
+    println("=== q_filter_project (expect PushedFilters) ===")
+    graft.SparkEntry.queries("q_filter_project")(spark, "/root/testdata/sf0.001").explain("formatted")
+    spark.stop()
+  }
+}

@@ -138,6 +138,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(plantedF1 >= 0.9, s"planted-entity pairwise F1 = $plantedF1")
   }
 
+  test("plan hygiene: encode scan prunes html/warc_ts/lang; filters push to parquet") {
+    // write pages as parquet so scan pruning is observable in the plan
+    val dir = java.nio.file.Files.createTempDirectory("graft-pages").toString
+    labeled.write.mode("overwrite").parquet(dir)
+    val onDisk = spark.read.parquet(dir)
+    val enc = Linkage.encode(onDisk, LinkageParams(), col("dsetId"))
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("html"), "html must be pruned from the scan")
+    assert(!plan.contains("warc_ts"), "warc_ts must be pruned from the scan")
+    // a pushable filter reaches the parquet scan
+    val filtered = onDisk.where(col("lang") === "en").select("url")
+    val fplan = filtered.queryExecution.executedPlan.toString
+    assert(fplan.contains("PushedFilters") && fplan.contains("EqualTo(lang,en)"), fplan)
+  }
+
+  test("candidate-pair shards: save + k-way merge == monolithic (ref serialization.py:285-338)") {
+    val params = LinkageParams(blocking = MinhashBlocking(), threshold = 0.75, k = Some(5))
+    val pairs = Linkage.candidatePairs(pagesDf, params, dsetExpr).cache()
+    val base = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    // shard by parity of rec0, save separately, merge back
+    graft.io.CandidateIO.save(pairs.where(pmod(col("rec0"), lit(2)) === 0), s"$base/s0")
+    graft.io.CandidateIO.save(pairs.where(pmod(col("rec0"), lit(2)) =!= 0), s"$base/s1")
+    val merged = graft.io.CandidateIO.merge(spark, Seq(s"$base/s0", s"$base/s1"))
+    val got = collectPairs(merged)
+    val want = collectPairs(pairs)
+    assert(got == want && got.nonEmpty)
+  }
+
   test("checkpoint resume: second run reads the snapshot and matches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val params = LinkageParams(blocking = MinhashBlocking(), threshold = 0.8, k = Some(5),

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamOps
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** Stage the driver's events parquet into a directory source. */
+  private lazy val eventsDir = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-events").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed counts over a stream equal the batch aggregation") {
+    val batch = spark.read.parquet(eventsDir)
+    val stream = spark.readStream.schema(batch.schema).parquet(eventsDir)
+    val q = StreamOps.windowedCounts(stream, "ts", "event_type")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_counts")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("win_counts")
+      .select(col("window.start").as("start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val want = batch
+      .withColumn("ts", col("ts").cast("timestamp")) // match the stream op's NTZ→instant cast
+      .groupBy(window(col("ts"), "1 hour").as("window"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("streaming CLK encode matches the batch encoder row-for-row") {
+    val pagesDir = java.nio.file.Files.createTempDirectory("graft-spages").toString
+    gen.Corpus.labeledPages(spark, gen.Corpus.Params(entities = 50L, seed = 23L))
+      .write.mode("overwrite").parquet(pagesDir)
+    val batchPages = spark.read.parquet(pagesDir)
+    val params = LinkageParams()
+    val stream = spark.readStream.schema(batchPages.schema).parquet(pagesDir)
+    val q = StreamOps.encodePages(stream, params, col("dsetId"))
+      .writeStream.outputMode("append").format("memory").queryName("enc_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("recId", "pop").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = canon(spark.table("enc_stream"))
+    val want = canon(Linkage.encode(batchPages, params, col("dsetId")).toDF())
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("stateful dedup-on-entry counts occurrences across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fps").toString
+    // two micro-batch files with overlapping fingerprints
+    Seq(1L, 2L, 3L).toDF("fingerprint").write.parquet(s"$dir/batch=0")
+    Seq(2L, 3L, 4L).toDF("fingerprint").write.parquet(s"$dir/batch=1")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("fingerprint",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/batch=*")
+    val q = StreamOps.dedupOnEntry(stream)
+      .writeStream.outputMode("update").format("memory").queryName("dedup_entry")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("dedup_entry")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // every fingerprint seen; total occurrences add up to 6
+    assert(rows.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    assert(rows.map(_._2).sum >= 6)
+    // first occurrence flagged for every fingerprint at least once
+    assert(Set(1L, 2L, 3L, 4L).forall(fp => rows.exists(r => r._1 == fp && r._3)))
+  }
+}
