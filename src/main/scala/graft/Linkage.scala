@@ -158,9 +158,11 @@ object Linkage {
     }
   }
 
-  /** C1/C2/S2: per-(key,salt) cell, run the packed Dice kernel between
-    * the two datasets' rows (two-party: exactly one dataset pair).
-    * `comparisons`, when given, counts |A|·|B| per cell — the same
+  /** C1/C2/S2: per-(key,salt) cell, run the packed Dice kernel for
+    * every ordered dataset pair `(i0 < i1)` present in the cell —
+    * multi-party like the reference's `_block_similarities`
+    * (`candidate_generation.py:28-40`, `itertools.combinations`).
+    * `comparisons`, when given, counts Σ|A_i|·|B_j| per cell — the same
     * "comparisons" metric the reference benchmark reports
     * (`/root/reference/anonlink/benchmark.py:66`). */
   def scorePairs(blocked: Dataset[BlockedRow], params: LinkageParams,
@@ -172,14 +174,20 @@ object Linkage {
     blocked
       .groupByKey(r => (r.key, r.salt))
       .flatMapGroups { (_, rows) =>
-        val a = scala.collection.mutable.ArrayBuffer.empty[ClkRow]
-        val b = scala.collection.mutable.ArrayBuffer.empty[ClkRow]
+        val byDset = scala.collection.mutable.TreeMap
+          .empty[Int, scala.collection.mutable.ArrayBuffer[ClkRow]]
         rows.foreach { r =>
-          if (r.dsetId == 0) a += ClkRow(r.recId, r.clk, r.pop)
-          else b += ClkRow(r.recId, r.clk, r.pop)
+          byDset.getOrElseUpdate(r.dsetId, scala.collection.mutable.ArrayBuffer.empty) +=
+            ClkRow(r.recId, r.clk, r.pop)
         }
-        comparisons.foreach(_.add(a.length.toLong * b.length))
-        DiceKernel.blockDiceTopK(a.toArray, b.toArray, threshold, k, 0, 1)
+        val dsets = byDset.keys.toArray
+        dsets.iterator.zipWithIndex.flatMap { case (d0, idx) =>
+          dsets.iterator.drop(idx + 1).flatMap { d1 =>
+            val a = byDset(d0); val b = byDset(d1)
+            comparisons.foreach(_.add(a.length.toLong * b.length))
+            DiceKernel.blockDiceTopK(a.toArray, b.toArray, threshold, k, d0, d1)
+          }
+        }
       }
       .toDF("sim", "dset0", "dset1", "rec0", "rec1")
   }

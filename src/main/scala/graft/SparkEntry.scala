@@ -79,9 +79,13 @@ object SparkEntry {
       val b = docs.select(($"doc_id" - 1).as("id0"), $"doc_id".as("id1"), $"clk".as("clk1"))
       a.join(b, "id0")
         .select($"id0", $"id1",
-          udf((x: Array[Byte], y: Array[Byte]) =>
-            core.BitVector.dice(core.BitVector.fromBytes(x), core.BitVector.fromBytes(y)))
-            .apply($"clk0", $"clk1").as("dice"))
+          functions.BitFunctions.dice_bin($"clk0", $"clk1").as("dice"))
+    }),
+    "linkage_greedy_clusters" -> ((s, _) => {
+      // exact distributed greedy matching (bit-parity with the
+      // reference greedy solver on bipartite input)
+      graft.solve.DistributedGreedy.clusters2Party(
+        Linkage.candidatePairs(corpus(s), linkParams, col("dsetId")))
     }),
 
     // ---- engine surface with DuckDB oracles (SURVEY §2.8 checklist) ----

@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+
+/** Static kernels the generated code calls into (kept tiny and
+  * branch-free so they inline). */
+object BitOps {
+  def popcountBytes(b: Array[Byte]): Int = {
+    var s = 0
+    var i = 0
+    while (i < b.length) { s += java.lang.Integer.bitCount(b(i) & 0xff); i += 1 }
+    s
+  }
+
+  def andPopcountBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var s = 0
+    var i = 0
+    while (i < n) { s += java.lang.Integer.bitCount(a(i) & b(i) & 0xff); i += 1 }
+    s
+  }
+
+  /** Dice over two BinaryType CLKs — 0.0 on zero denominator
+    * (`/root/reference/anonlink/similarities/_dice_python.py:113-116`). */
+  def diceBytes(a: Array[Byte], b: Array[Byte]): Double = {
+    val denom = popcountBytes(a) + popcountBytes(b)
+    if (denom == 0) 0.0 else 2.0 * andPopcountBytes(a, b) / denom
+  }
+
+  def xorPopcountBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var s = 0
+    var i = 0
+    while (i < n) { s += java.lang.Integer.bitCount((a(i) ^ b(i)) & 0xff); i += 1 }
+    // bits beyond the shorter input count as differing? The reference
+    // requires equal lengths; mirror that leniency-free by adding the
+    // tail popcount of the longer side.
+    val longer = if (a.length >= b.length) a else b
+    var j = n
+    while (j < longer.length) { s += java.lang.Integer.bitCount(longer(j) & 0xff); j += 1 }
+    s
+  }
+}
+
+/** S4 as a native Catalyst expression: popcount of a BinaryType column
+  * with whole-stage codegen (Spark's builtin `bit_count` only covers
+  * integral types). Promotion of the UDF path per SURVEY §7.5. */
+case class PopcountBinary(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "popcount_bin"
+
+  protected override def nullSafeEval(v: Any): Any =
+    BitOps.popcountBytes(v.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BitOps.popcountBytes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PopcountBinary =
+    copy(child = newChild)
+}
+
+/** S5 as a native Catalyst expression: Dice coefficient of two
+  * BinaryType CLKs, codegen-friendly (used for re-scoring explicit pair
+  * lists; the batch kernel handles the quadratic stage). */
+case class DiceBinary(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dice_bin"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    BitOps.diceBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.BitOps.diceBytes($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DiceBinary =
+    copy(left = l, right = r)
+}
+
+/** SMC scalar over BinaryType CLKs (S6 companion of [[DiceBinary]]). */
+case class SmcBinary(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "smc_bin"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    1.0 - BitOps.xorPopcountBytes(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]]).toDouble / bits
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"1.0 - graft.functions.BitOps.xorPopcountBytes($a, $b) / (double) $bits")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SmcBinary =
+    copy(left = l, right = r)
+}
+
+/** Column-API + SQL registration for the bit expressions. */
+object BitFunctions {
+  def popcount_bin(c: Column): Column = toColumn(PopcountBinary(toExpression(c)))
+  def dice_bin(a: Column, b: Column): Column = toColumn(DiceBinary(toExpression(a), toExpression(b)))
+  def smc_bin(a: Column, b: Column, bits: Int): Column = toColumn(SmcBinary(toExpression(a), toExpression(b), bits))
+
+  /** Register `popcount_bin` / `dice_bin` for SQL queries. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "popcount_bin", exprs => PopcountBinary(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dice_bin", exprs => DiceBinary(exprs(0), exprs(1)), "scala_udf")
+  }
+}

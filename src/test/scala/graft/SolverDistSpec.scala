@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.BitVector
+import graft.functions.BitFunctions
+import graft.solve.{Candidate, DistributedGreedy, Greedy}
+
+class SolverDistSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def toDf(cands: Seq[Candidate]) =
+    cands.map(c => (c.sim, c.dset0, c.dset1, c.rec0, c.rec1))
+      .toDF("sim", "dset0", "dset1", "rec0", "rec1")
+
+  test("distributed greedy matching == sequential greedy oracle (random bipartite)") {
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 10) {
+      val n = 50 + rnd.nextInt(100)
+      // unique (rec0, rec1) pairs — the pipeline guarantees this via
+      // Candidates.dedup, and the reference's own 2-party hypothesis
+      // strategy is dict-keyed by pair (test_solving.py:299-306).
+      // (With duplicate pairs at different sims the reference greedy
+      // can form >2 groups, which matching cannot represent.)
+      val cands = (0 until n).map { _ =>
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)
+      }.distinct.map { case (r0, r1) => Candidate(rnd.nextDouble(), 0, 1, r0, r1) }
+      val want = Greedy.greedySolve(cands)
+        .map(g => g.map(r => (r.dset, r.rec)).toSet).toSet
+      val got = DistributedGreedy.matching2Party(toDf(cands))
+        .collect().map(r => Set((r.getInt(1), r.getLong(3)), (r.getInt(2), r.getLong(4)))).toSet
+      assert(got == want, s"trial $trial: ${got.size} vs ${want.size}")
+    }
+  }
+
+  test("distributed greedy on pipeline candidates == oracle (E2E)") {
+    val pages = gen.Corpus.labeledPages(spark,
+      gen.Corpus.Params(entities = 150L, seed = 31L, minVariants = 2, maxVariants = 2))
+    val params = LinkageParams(blocking = MinhashBlocking(), threshold = 0.7, k = Some(5))
+    val pairs = Linkage.candidatePairs(pages, params, col("dsetId")).cache()
+    val want = Greedy.greedySolve(
+      pairs.collect().map(r => Candidate(r.getDouble(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSeq)
+      .map(g => g.map(r => (r.dset, r.rec)).toSet).toSet
+    val got = DistributedGreedy.matching2Party(pairs)
+      .collect().map(r => Set((r.getInt(1), r.getLong(3)), (r.getInt(2), r.getLong(4)))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("multiparty scoring: 3 datasets produce all ordered dataset pairs like the reference") {
+    // 3-way split of a bipartite-ish corpus; compare against per-pair
+    // naive scoring like _block_similarities over combinations(3, 2)
+    val pages = gen.Corpus.labeledPages(spark,
+      gen.Corpus.Params(entities = 60L, seed = 41L, minVariants = 3, maxVariants = 3))
+    val params = LinkageParams(blocking = NoBlocking, threshold = 0.7, k = None)
+    val threeWay = pages.withColumn("dset3",
+      pmod(xxhash64(col("url")), lit(3)).cast("int"))
+    val got = Linkage.candidatePairs(threeWay, params, col("dset3"))
+      .collect().map(r => Candidate(r.getDouble(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sorted(Candidate.globalOrdering)
+    assert(got.map(c => (c.dset0, c.dset1)).distinct.sorted == Seq((0, 1), (0, 2), (1, 2)))
+
+    // oracle: naive per dataset pair
+    val rows = threeWay.select(col("url"), col("text"), col("dset3")).collect().map { r =>
+      (r.getInt(2), Linkage.recId(r.getString(0)),
+        graft.encode.ClkEncoder.encode(r.getString(1), params.clk))
+    }
+    val byDset = rows.groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSeq).toMap
+    val want = (for {
+      d0 <- 0 to 2; d1 <- (d0 + 1) to 2
+    } yield graft.sim.DiceKernel.naiveDice(byDset(d0), byDset(d1), 0.7, None, d0, d1))
+      .flatten.sorted(Candidate.globalOrdering)
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("native bit expressions match BitVector; null-safe; SQL-registered") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 50).map { i =>
+      val a = Array.fill(16)(rnd.nextLong())
+      val b = Array.fill(16)(rnd.nextLong())
+      (i.toLong, BitVector.toBytes(a), BitVector.toBytes(b))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+      BitFunctions.popcount_bin(col("a")).as("pop"),
+      BitFunctions.dice_bin(col("a"), col("b")).as("dice"),
+      BitFunctions.smc_bin(col("a"), col("b"), 1024).as("smc"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    rows.foreach { case (id, ab, bb) =>
+      val a = BitVector.fromBytes(ab); val b = BitVector.fromBytes(bb)
+      val (p, d, s) = got(id)
+      assert(p == BitVector.popcount(a))
+      assert(d == BitVector.dice(a, b))
+      assert(s == BitVector.smc(a, b, 1024))
+    }
+    // nulls propagate as null, not NPE
+    val withNull = Seq((1L, null.asInstanceOf[Array[Byte]])).toDF("id", "a")
+    assert(withNull.select(BitFunctions.popcount_bin(col("a"))).head.isNullAt(0))
+    // SQL registration
+    BitFunctions.register(spark)
+    df.createOrReplaceTempView("clks")
+    val viaSql = spark.sql("SELECT id, popcount_bin(a) AS p, dice_bin(a, b) AS d FROM clks")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    rows.foreach { case (id, ab, bb) =>
+      assert(viaSql(id)._1 == BitVector.popcount(BitVector.fromBytes(ab)))
+    }
+  }
+}
