@@ -122,15 +122,24 @@ object Linkage {
       .withColumn("key", explode(col("bandKeys")))
       .select($"key", $"dsetId", $"recId", $"clk", $"pop")
 
-    // per-(key, side) counts; only keys whose pair product exceeds the
-    // budget need salting. This is a cheap aggregate over the exploded
-    // table (map-side combine), collected as a small broadcast map.
+    // One aggregate pass over the keys (map-side combined) feeds two
+    // pruning decisions:
+    //  - ACTIVE keys: a band shared by ≥2 datasets — every other band
+    //    is a singleton that can never produce a pair. At web scale
+    //    most documents are unique, so most bands die here; the inner
+    //    join keeps the kernel's group count proportional to candidate
+    //    pairs, not to corpus size.
+    //  - HOT keys: |A|·|B| above the pair budget → √-tiled salt grid
+    //    (small; collected + broadcast).
     val budget = params.pairBudget
-    val hot = exploded.groupBy($"key")
+    val keyStats = exploded.groupBy($"key")
       .agg(
         sum(when($"dsetId" === 0, 1L).otherwise(0L)).as("n0"),
-        sum(when($"dsetId" =!= 0, 1L).otherwise(0L)).as("n1"))
-      .where($"n0" * $"n1" > budget)
+        sum(when($"dsetId" =!= 0, 1L).otherwise(0L)).as("n1"),
+        countDistinct($"dsetId").as("nd"))
+    val active = keyStats.where($"nd" >= 2).select($"key")
+    val hot = keyStats.where($"n0" * $"n1" > budget)
+      .select($"key", $"n0", $"n1")
       .collect()
       .map { r =>
         val n0 = r.getLong(1); val n1 = r.getLong(2)
@@ -142,7 +151,9 @@ object Linkage {
       .toMap
     val hotB = spark.sparkContext.broadcast(hot)
 
-    exploded.as[(Long, Int, Long, Array[Byte], Int)].mapPartitions { it =>
+    exploded.join(active, "key")
+      .select($"key", $"dsetId", $"recId", $"clk", $"pop")
+      .as[(Long, Int, Long, Array[Byte], Int)].mapPartitions { it =>
       val hotMap = hotB.value
       it.flatMap { case (key, dsetId, recId, clk, pop) =>
         hotMap.get(key) match {
@@ -174,18 +185,33 @@ object Linkage {
     blocked
       .groupByKey(r => (r.key, r.salt))
       .flatMapGroups { (_, rows) =>
-        val byDset = scala.collection.mutable.TreeMap
-          .empty[Int, scala.collection.mutable.ArrayBuffer[ClkRow]]
+        // fast path: two-party cells (the overwhelmingly common case)
+        val a = scala.collection.mutable.ArrayBuffer.empty[ClkRow]
+        val b = scala.collection.mutable.ArrayBuffer.empty[ClkRow]
+        var others: scala.collection.mutable.TreeMap[Int, scala.collection.mutable.ArrayBuffer[ClkRow]] = null
         rows.foreach { r =>
-          byDset.getOrElseUpdate(r.dsetId, scala.collection.mutable.ArrayBuffer.empty) +=
-            ClkRow(r.recId, r.clk, r.pop)
+          if (r.dsetId == 0) a += ClkRow(r.recId, r.clk, r.pop)
+          else if (r.dsetId == 1) b += ClkRow(r.recId, r.clk, r.pop)
+          else {
+            if (others == null) others = scala.collection.mutable.TreeMap.empty
+            others.getOrElseUpdate(r.dsetId, scala.collection.mutable.ArrayBuffer.empty) +=
+              ClkRow(r.recId, r.clk, r.pop)
+          }
         }
-        val dsets = byDset.keys.toArray
-        dsets.iterator.zipWithIndex.flatMap { case (d0, idx) =>
-          dsets.iterator.drop(idx + 1).flatMap { d1 =>
-            val a = byDset(d0); val b = byDset(d1)
-            comparisons.foreach(_.add(a.length.toLong * b.length))
-            DiceKernel.blockDiceTopK(a.toArray, b.toArray, threshold, k, d0, d1)
+        if (others == null) {
+          comparisons.foreach(_.add(a.length.toLong * b.length))
+          DiceKernel.blockDiceTopK(a.toArray, b.toArray, threshold, k, 0, 1)
+        } else {
+          // multiparty: every ordered dataset pair (i0 < i1), like
+          // the reference's itertools.combinations
+          val byDset = scala.collection.mutable.TreeMap(0 -> a, 1 -> b) ++ others
+          val dsets = byDset.iterator.filter(_._2.nonEmpty).map(_._1).toArray
+          dsets.iterator.zipWithIndex.flatMap { case (d0, idx) =>
+            dsets.iterator.drop(idx + 1).flatMap { d1 =>
+              val x = byDset(d0); val y = byDset(d1)
+              comparisons.foreach(_.add(x.length.toLong * y.length))
+              DiceKernel.blockDiceTopK(x.toArray, y.toArray, threshold, k, d0, d1)
+            }
           }
         }
       }

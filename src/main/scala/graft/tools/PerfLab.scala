@@ -31,6 +31,50 @@ object PerfLab {
     val n = 40000L
     val mode = if (args.nonEmpty) args(0) else "all"
 
+    if (mode == "stages") {
+      val spark = session(32)
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val pages = graft.gen.Corpus.labeledPages(spark,
+        graft.gen.Corpus.Params(entities = 50000L, seed = 5L, minVariants = 2, maxVariants = 2)).cache()
+      time("corpus")(pages.count())
+      val params = graft.LinkageParams(blocking = graft.MinhashBlocking(), threshold = 0.8, k = Some(5))
+      val enc = graft.Linkage.encode(pages, params, col("dsetId"))
+      time("encode only")(enc.count())
+      val encCached = enc.cache()
+      time("encode cache")(encCached.count())
+      val blocked = graft.Linkage.blockAndSalt(encCached, params)
+      time("blockAndSalt (census+explode) on cached encode")(blocked.count())
+      val scored = graft.Linkage.scorePairs(blocked, params)
+      time("scorePairs")(scored.count())
+      time("finalize")(graft.cand.Candidates.finalize(scored, params.k).count())
+      spark.stop()
+    }
+
+    if (mode == "pipeline") {
+      // full linkage pipeline at FIXTURES "bench" scale
+      for (cores <- Seq(8, 32)) {
+        val spark = session(cores)
+        import org.apache.spark.sql.functions._
+        val pages = graft.gen.Corpus.labeledPages(spark,
+          graft.gen.Corpus.Params(entities = 50000L, seed = 5L, minVariants = 2, maxVariants = 2)).cache()
+        time(s"corpus materialize ($cores cores)")(pages.count())
+        val params = graft.LinkageParams(blocking = graft.MinhashBlocking(), threshold = 0.8, k = Some(5))
+        var pairs: org.apache.spark.sql.DataFrame = null
+        time(s"candidatePairs ($cores cores)") {
+          pairs = graft.Linkage.candidatePairs(pages, params, col("dsetId")).cache()
+          println(s"[perf] pairs: ${pairs.count()}")
+        }
+        time(s"clusters CC ($cores cores)") {
+          println(s"[perf] clustered: ${graft.Linkage.clusters(pairs, params).count()}")
+        }
+        time(s"greedy matching distributed ($cores cores)") {
+          println(s"[perf] matched: ${graft.solve.DistributedGreedy.matching2Party(pairs).count()}")
+        }
+        spark.stop()
+      }
+    }
+
     if (mode == "bscale") {
       // broadcast all-pairs at several sizes/cores to separate fixed
       // overhead from per-core rate

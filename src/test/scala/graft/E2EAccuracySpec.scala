@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.gen.Corpus
+import graft.solve.Rec
+
+/** The reference's E2E accuracy contract
+  * (`/root/reference/tests/test_e2e.py:16-57`): two datasets sharing a
+  * known `proportion` of entities; the produced mapping must have ≤2%
+  * false matches and approximately `samples × proportion` matches.
+  */
+class E2EAccuracySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def overlapCorpus(samples: Int, proportion: Double, seed: Long) = {
+    val overlap = (samples * proportion).toInt
+    val total = 2L * samples - overlap
+    // entity layout: [0, overlap) shared; [overlap, samples) dset0-only;
+    // [samples, total) dset1-only. Low perturbation mirrors the
+    // reference's identical-PII overlap records.
+    val all = Corpus.labeledPages(spark, Corpus.Params(
+      entities = total, seed = seed, minVariants = 2, maxVariants = 2,
+      perturbation = 0.03))
+    all.where(
+      (col("entityId") < overlap) ||
+        (col("entityId") >= overlap && col("entityId") < samples && col("dsetId") === 0) ||
+        (col("entityId") >= samples && col("dsetId") === 1))
+  }
+
+  test("accuracy: <=2% false matches; expected match count (ref test_e2e.py:36-57)") {
+    val samples = 400
+    val proportion = 0.75
+    val pages = overlapCorpus(samples, proportion, seed = 97L).cache()
+    // both datasets have exactly `samples` records
+    val sizes = pages.groupBy("dsetId").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(0 -> samples.toLong, 1 -> samples.toLong))
+
+    val params = LinkageParams(blocking = MinhashBlocking(), threshold = 0.8, k = Some(5))
+    val pairs = Linkage.candidatePairs(pages, params, col("dsetId")).cache()
+    val mapping = Linkage.greedyClusters(pairs) // exact greedy, like the reference
+
+    // ground truth: recId -> entityId
+    val entityOf = pages
+      .select(Linkage.recIdCol(col("url")).as("recId"), col("entityId"), col("dsetId"))
+      .collect().map(r => (r.getInt(2), r.getLong(0)) -> r.getLong(1)).toMap
+
+    var falseMatches = 0
+    var trueMatches = 0
+    mapping.foreach { group =>
+      assert(group.size == 2)
+      val es = group.map(r => entityOf((r.dset, r.rec)))
+      if (es.distinct.size == 1) trueMatches += 1 else falseMatches += 1
+    }
+    val numMatches = trueMatches + falseMatches
+    val allowedFalse = math.ceil(numMatches * 0.02).toInt
+    assert(numMatches <= trueMatches + allowedFalse,
+      s"false=$falseMatches of $numMatches")
+    assert(math.abs(samples * proportion - numMatches) <= allowedFalse,
+      s"expected ~${samples * proportion} matches, got $numMatches")
+  }
+}
