@@ -55,7 +55,7 @@ object Bench {
     * of `n` random CLKs, the right side packed + broadcast (shuffle-
     * free broadcast nested-loop), t=0.7, k=None — mirrors the reference
     * 20k×20k benchmark rows (`README.rst:79-89`) at cluster scale. */
-  private def allPairsThroughput(cores: Int, n: Long, trials: Int = 2): Double = {
+  private def allPairsThroughput(cores: Int, n: Long, trials: Int = 3): Double = {
     val spark = session(cores)
     try {
       val bRows = (0L until n).map { i =>
@@ -97,7 +97,7 @@ object Bench {
     val kernelCps = kernelMicro()
 
     // 3. N vs 4N scaling on identical input
-    val nScale = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "200000").toLong
+    val nScale = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "150000").toLong
     val lowCores = math.max(1, cpus / 4)
     val tpLow = allPairsThroughput(lowCores, nScale)
     val tpHigh = allPairsThroughput(cpus, nScale)

@@ -78,7 +78,7 @@ object PerfLab {
     if (mode == "bscale") {
       // broadcast all-pairs at several sizes/cores to separate fixed
       // overhead from per-core rate
-      for (n <- Seq(100000L, 200000L); cores <- Seq(8, 32)) {
+      for (n <- Seq(200000L); cores <- Seq(4, 16, 8, 32)) {
         val spark = session(cores)
         import spark.implicits._
         val bRows = (0L until n).map { i =>
