@@ -105,6 +105,17 @@ object Linkage {
       }
   }
 
+  /** B3 `list_blocking` (`/root/reference/anonlink/blocking.py:220-240`):
+    * block ids supplied by an external `(dsetId, recId, key)` table —
+    * a plain equi-join replacing the content-derived band keys. The
+    * result feeds [[saltExploded]]/[[scorePairs]] like any other
+    * blocking. */
+  def listBlocked(encoded: Dataset[EncodedRecord], keys: DataFrame): DataFrame = {
+    encoded.toDF()
+      .join(keys, Seq("dsetId", "recId"))
+      .select(col("key"), col("dsetId"), col("recId"), col("clk"), col("pop"))
+  }
+
   /** Explode band keys and salt skewed blocks.
     *
     * Salting: per block key, the comparison rectangle |A|×|B| is tiled
@@ -115,12 +126,18 @@ object Linkage {
     * (`concurrency.py:74-86`) into key-space salting.
     */
   def blockAndSalt(encoded: Dataset[EncodedRecord], params: LinkageParams): Dataset[BlockedRow] = {
-    val spark = encoded.sparkSession
-    import spark.implicits._
-
     val exploded = encoded
       .withColumn("key", explode(col("bandKeys")))
-      .select($"key", $"dsetId", $"recId", $"clk", $"pop")
+      .select(col("key"), col("dsetId"), col("recId"), col("clk"), col("pop"))
+    saltExploded(exploded, params)
+  }
+
+  /** Salt an exploded `(key, dsetId, recId, clk, pop)` table — shared
+    * by band blocking ([[blockAndSalt]]) and external-key blocking
+    * ([[listBlocked]]). */
+  def saltExploded(exploded: DataFrame, params: LinkageParams): Dataset[BlockedRow] = {
+    val spark = exploded.sparkSession
+    import spark.implicits._
 
     // One aggregate pass over the keys (map-side combined) feeds two
     // pruning decisions:
