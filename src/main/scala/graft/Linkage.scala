@@ -168,7 +168,11 @@ object Linkage {
       .toMap
     val hotB = spark.sparkContext.broadcast(hot)
 
-    exploded.join(active, "key")
+    // left-semi against the active keys. The active set grows with the
+    // corpus (≈ bands × matched docs) — at 500k pages it already OOMs a
+    // broadcast build, so force a shuffle-hash join: scale-safe at any
+    // size, and the per-partition hash build is tiny.
+    exploded.join(active.hint("SHUFFLE_HASH"), Seq("key"), "left_semi")
       .select($"key", $"dsetId", $"recId", $"clk", $"pop")
       .as[(Long, Int, Long, Array[Byte], Int)].mapPartitions { it =>
       val hotMap = hotB.value

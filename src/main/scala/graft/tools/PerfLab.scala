@@ -31,6 +31,24 @@ object PerfLab {
     val n = 40000L
     val mode = if (args.nonEmpty) args(0) else "all"
 
+    if (mode == "big") {
+      // 500k-page smoke at default heap: memory headroom + wall time
+      val spark = session(32)
+      import org.apache.spark.sql.functions._
+      val pages = graft.gen.Corpus.labeledPages(spark,
+        graft.gen.Corpus.Params(entities = 250000L, seed = 6L, minVariants = 2, maxVariants = 2))
+      val params = graft.LinkageParams(blocking = graft.MinhashBlocking(), threshold = 0.8, k = Some(5))
+      var pairs: org.apache.spark.sql.DataFrame = null
+      time("big candidatePairs (500k pages, 32 cores)") {
+        pairs = graft.Linkage.candidatePairs(pages, params, col("dsetId")).cache()
+        println(s"[perf] pairs: ${pairs.count()}")
+      }
+      time("big clusters CC") {
+        println(s"[perf] clustered: ${graft.Linkage.clusters(pairs, params).count()}")
+      }
+      spark.stop()
+    }
+
     if (mode == "stages") {
       val spark = session(32)
       import org.apache.spark.sql.functions._

@@ -154,6 +154,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(fplan.contains("PushedFilters") && fplan.contains("EqualTo(lang,en)"), fplan)
   }
 
+  test("real skew: boilerplate duplicated 400x triggers hot-block salting, results exact") {
+    // 400 near-identical boilerplate pages (one hot band cluster) + the
+    // normal corpus. |A|x|B| for the boilerplate bands ~ 200*200 per
+    // band, above a 5k pair budget -> the hot-key path engages.
+    val boiler = (0 until 400).map { i =>
+      val url = s"https://boiler.example/p$i"
+      // identical text -> identical CLK and band keys
+      (url, "terms of service page copyright two thousand all rights reserved contact webmaster today", i % 2)
+    }
+    import spark.implicits._
+    val boilerDf = boiler.toDF("url", "text", "dsetId")
+    val normal = labeled.select("url", "text", "dsetId")
+    val pages = normal.union(boilerDf)
+    val base = LinkageParams(blocking = MinhashBlocking(), threshold = 0.8, k = Some(10))
+    val salted = base.copy(pairBudget = 5000L)
+    val a = collectPairs(Linkage.candidatePairs(pages, base, col("dsetId")))
+    val b = collectPairs(Linkage.candidatePairs(pages, salted, col("dsetId")))
+    assert(a == b)
+    // the boilerplate clique survives global k-enforcement as exactly
+    // the 10x10 top submatrix under the total order (rank <= k on BOTH
+    // sides, counting suppressed pairs — _enforce_k semantics)
+    val boilerIds = boiler.map(r => Linkage.recId(r._1)).toSet
+    val boilerPairs = a.filter(c => boilerIds.contains(c.rec0) && boilerIds.contains(c.rec1))
+    assert(boilerPairs.size == 100, s"got ${boilerPairs.size}")
+    assert(boilerPairs.forall(_.sim == 1.0))
+  }
+
   test("candidate-pair shards: save + k-way merge == monolithic (ref serialization.py:285-338)") {
     val params = LinkageParams(blocking = MinhashBlocking(), threshold = 0.75, k = Some(5))
     val pairs = Linkage.candidatePairs(pagesDf, params, dsetExpr).cache()
