@@ -153,8 +153,11 @@ object Linkage {
       .agg(
         sum(when($"dsetId" === 0, 1L).otherwise(0L)).as("n0"),
         sum(when($"dsetId" =!= 0, 1L).otherwise(0L)).as("n1"),
-        countDistinct($"dsetId").as("nd"))
-    val active = keyStats.where($"nd" >= 2).select($"key")
+        min($"dsetId").as("dmin"),
+        max($"dsetId").as("dmax"))
+    // ≥2 distinct datasets ⇔ min ≠ max (cheaper than countDistinct's
+    // aggregate expand; correct for multiparty too)
+    val active = keyStats.where($"dmin" =!= $"dmax").select($"key")
     val hot = keyStats.where($"n0" * $"n1" > budget)
       .select($"key", $"n0", $"n1")
       .collect()
