@@ -35,13 +35,39 @@ object DistributedGreedy {
     *              greedy can exceed matching semantics)
     * @return matched pairs — a subset of `pairs`, the greedy matching
     */
-  def matching2Party(pairs: DataFrame, maxIterations: Int = 60): DataFrame = {
+  def matching2Party(
+      pairs: DataFrame,
+      maxIterations: Int = 60,
+      /** once the remainder fits comfortably on the driver, finish the
+        * sweep sequentially — bounds worst-case (staircase-preference)
+        * inputs where only one edge is dominant per round. The same
+        * small-tail concession the reference makes by running its
+        * solver single-threaded on the post-top-k candidate list. */
+      driverFinishThreshold: Long = 100000L): DataFrame = {
     val spark = pairs.sparkSession
+    import spark.implicits._
     var remaining = pairs.select(Candidates.columns.map(col): _*).localCheckpoint(true)
     var matched: DataFrame = null
     var iter = 0
     var done = false
     while (!done && iter < maxIterations) {
+      if (iter > 0 && remaining.count() <= driverFinishThreshold) {
+        // sequential greedy sweep over the (small) remainder
+        val rem = remaining.collect().map(r =>
+          Candidate(r.getDouble(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+          .sorted(Candidate.globalOrdering)
+        val taken0 = scala.collection.mutable.HashSet.empty[Long]
+        val taken1 = scala.collection.mutable.HashSet.empty[Long]
+        val out = rem.filter { c =>
+          if (!taken0.contains(c.rec0) && !taken1.contains(c.rec1)) {
+            taken0 += c.rec0; taken1 += c.rec1; true
+          } else false
+        }
+        val tail = out.toSeq.map(c => (c.sim, c.dset0, c.dset1, c.rec0, c.rec1))
+          .toDF(Candidates.columns: _*)
+        matched = if (matched == null) tail else matched.unionByName(tail)
+        return matched
+      }
       val w0 = Window.partitionBy("rec0").orderBy(Candidates.globalSortCols: _*)
       val w1 = Window.partitionBy("rec1").orderBy(Candidates.globalSortCols: _*)
       val ranked = remaining

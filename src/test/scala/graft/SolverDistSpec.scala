@@ -34,6 +34,24 @@ class SolverDistSpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial staircase preferences: cascaded matching stays exact") {
+    // sims descending along a chain a1-b1 > a2-b1 > a2-b2 > a3-b2 ...:
+    // only one edge is dominant per round, so the distributed rounds
+    // alone would need O(n) iterations — the driver-finish path must
+    // keep it exact.
+    val n = 300
+    val cands = (0 until n).flatMap { i =>
+      Seq(
+        Candidate(1.0 - (2 * i) * 1e-3, 0, 1, i.toLong, i.toLong),
+        Candidate(1.0 - (2 * i + 1) * 1e-3, 0, 1, (i + 1).toLong, i.toLong))
+    }
+    val want = Greedy.greedySolve(cands)
+      .map(g => g.map(r => (r.dset, r.rec)).toSet).toSet
+    val got = DistributedGreedy.matching2Party(toDf(cands), maxIterations = 20)
+      .collect().map(r => Set((r.getInt(1), r.getLong(3)), (r.getInt(2), r.getLong(4)))).toSet
+    assert(got == want && got.size == n)
+  }
+
   test("distributed greedy on pipeline candidates == oracle (E2E)") {
     val pages = gen.Corpus.labeledPages(spark,
       gen.Corpus.Params(entities = 150L, seed = 31L, minVariants = 2, maxVariants = 2))
