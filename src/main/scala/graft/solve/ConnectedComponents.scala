@@ -73,13 +73,19 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint(true)
 
-      // convergence: edge multiset unchanged
-      val before = e.count()
-      val after = small.count()
-      val changed =
-        if (before != after) true
-        else small.exceptAll(e).isEmpty == false
-      onRound(iter, after)
+      // convergence: edge set unchanged — compared via (count, hash-sum)
+      // in ONE aggregate per side instead of an exceptAll join. The
+      // edge sets are distinct, so equal count + equal 64-bit hash-sum
+      // means equal sets (collision odds ~2^-64 per round).
+      def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
+        // decimal sum: exact and overflow-free under ANSI mode
+        val r = df.agg(count(lit(1)),
+          sum(xxhash64($"src", $"dst").cast("decimal(38,0)"))).head
+        (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+      }
+      val after = sig(small)
+      val changed = after != sig(e)
+      onRound(iter, after._1)
       e = small
       converged = !changed
       iter += 1
