@@ -225,6 +225,10 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       ops.Ann.lshTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
     }),
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ops.Ann.ivfTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    }),
     "text_langid" -> ((s, dir) =>
       ops.TextOps.withLangId(t(s, dir, "documents"), "text")
         .select("doc_id", "lang_pred", "lang_score")),

@@ -121,6 +121,62 @@ object Ann {
       .where(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) top-k: a seeded KMeans coarse quantizer
+    * partitions the corpus into `nLists` cells; each query probes its
+    * `nProbe` nearest centroids and scores only those cells — the
+    * classic IVF-Flat layout. Centroids are broadcast (tiny); the cell
+    * assignment is one shuffle; at scale the corpus would be
+    * partitioned/bucketed by cell id so probes are partition-pruned
+    * scans. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 0x1ffL): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val corpusN = normalized(corpus, idCol, vecCol).cache()
+    // coarse quantizer: seeded KMeans over the unit vectors
+    val toVec = udf((v: Seq[Float]) =>
+      org.apache.spark.ml.linalg.Vectors.dense(v.map(_.toDouble).toArray))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nLists).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(corpusN.withColumn("features", toVec($"unit")))
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val cBc = spark.sparkContext.broadcast(centroids)
+
+    def nearestCells(v: Array[Float], n: Int): Seq[Int] = {
+      val cs = cBc.value
+      cs.indices.map { c =>
+        var dot = 0.0
+        var d = 0
+        val cc = cs(c)
+        val len = math.min(cc.length, v.length)
+        while (d < len) { dot += cc(d) * v(d); d += 1 }
+        (c, dot)
+      }.sortBy { case (c, dot) => (-dot, c) }.take(n).map(_._1)
+    }
+
+    val assigned = corpusN.as[(Long, Seq[Float])]
+      .map { case (id, v) => (id, v, nearestCells(v.toArray, 1).head) }
+      .toDF("id", "unit", "cell")
+    val qAssigned = normalized(queries, idCol, vecCol).as[(Long, Seq[Float])]
+      .flatMap { case (id, v) => nearestCells(v.toArray, nProbe).map(c => (id, v, c)) }
+      .toDF("query_id", "qunit", "cell")
+    val scored = qAssigned.join(assigned, "cell")
+      .withColumn("cosine", dotUdf(col("qunit"), col("unit")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cosine"), asc("id"))
+    scored.select("query_id", "id", "cosine")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** LSH-bucketed top-k: `tables` independent hyperplane tables; probe
     * the union of the query's buckets. Each table touches
     * ~1/2^planes of the corpus; recall grows with tables (the classic

@@ -187,6 +187,23 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall=$recall") // 4 planes, labeled clusters
   }
 
+  test("IVF top-k: self always found; strong recall with nProbe=4/16 lists") {
+    val queries = embeddings.where($"vec_id" < 20)
+    val brute = Ann.bruteForceTopK(embeddings, queries, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(embeddings, queries, "vec_id", "embedding", k = 3,
+      nLists = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 20L).foreach(q => assert(ivf.contains((q, q)), s"self-match $q missing"))
+    val recall = ivf.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.7, s"IVF recall=$recall")
+    // determinism (seeded quantizer)
+    val again = Ann.ivfTopK(embeddings, queries, "vec_id", "embedding", k = 3,
+      nLists = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == ivf)
+  }
+
   // ---------------- text ops ----------------
 
   test("language ID: marker words and CJK detection") {
