@@ -9,6 +9,12 @@ import graft.sim.{ClkRow, SmcKernel}
 /** SMC similarity as a pipeline operator (S6 in SURVEY §2.3). */
 object Smc {
 
+  /** Deprecated alias mirroring the reference's `hamming_similarity`
+    * (`/root/reference/anonlink/similarities/_smc.py:126-133`). */
+  @deprecated("use Smc.scorePairs (simple matching coefficient)", "0.1.0")
+  def hammingSimilarity(blocked: Dataset[BlockedRow], threshold: Double, bits: Int): DataFrame =
+    scorePairs(blocked, threshold, bits)
+
   /** Score blocked rows with SMC ≥ threshold (same cell layout as the
     * Dice path). */
   def scorePairs(blocked: Dataset[BlockedRow], threshold: Double, bits: Int): DataFrame = {

@@ -31,6 +31,30 @@ object PerfLab {
     val n = 40000L
     val mode = if (args.nonEmpty) args(0) else "all"
 
+    if (mode == "gran") {
+      // task-granularity sweep for the broadcast all-pairs at 32 cores
+      for (factor <- Seq(1, 2, 4)) {
+        val spark = session(32)
+        import spark.implicits._
+        val n = 150000L
+        val bRows = (0L until n).map { i =>
+          val w = RandomClks.clkFor(i, 16, 0xbbL)
+          ClkRow(i, BitVector.toBytes(w), BitVector.popcount(w))
+        }.toArray
+        val a = RandomClks.generate(spark, n, 0xaaL).repartition(32 * factor).cache()
+        a.count()
+        val params = LinkageParams(threshold = 0.7, k = None)
+        Linkage.scoreAgainstBroadcast(a.limit(20000), bRows, params).count() // warmup
+        for (trial <- 1 to 2) {
+          val t0 = System.nanoTime()
+          Linkage.scoreAgainstBroadcast(a, bRows, params).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"[perf] gran factor=$factor trial$trial: $sec%.2f s, ${n.toDouble*n/sec/1e6}%.0f M cmp/s")
+        }
+        spark.stop()
+      }
+    }
+
     if (mode == "big") {
       // 500k-page smoke at default heap: memory headroom + wall time
       val spark = session(32)
