@@ -302,11 +302,14 @@ object Linkage {
     }
   }
 
-  /** End-to-end: pages → clusters (with url identity attached). */
+  /** End-to-end: pages → clusters (with url identity attached). The
+    * candidate pairs are cached (or snapshotted, with a checkpointDir)
+    * so the clustering iterations don't re-run the scoring pipeline. */
   def run(pages: DataFrame, params: LinkageParams,
       dsetIdExpr: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
     val pairs = candidatePairs(pages, params, dsetIdExpr)
-    (pairs, clusters(pairs, params))
+    val reusable = if (params.checkpointDir.isDefined) pairs else pairs.cache()
+    (reusable, clusters(reusable, params))
   }
 
   /** Driver-side exact solve for small candidate lists (the oracle
