@@ -158,7 +158,12 @@ object Linkage {
     // ≥2 distinct datasets ⇔ min ≠ max (cheaper than countDistinct's
     // aggregate expand; correct for multiparty too)
     val active = keyStats.where($"dmin" =!= $"dmax").select($"key")
-    val hot = keyStats.where($"n0" * $"n1" > budget)
+    // Salting assumes a bipartite cell (A replicated over B's salts and
+    // vice versa); a key spanning >2 datasets would lose pairs between
+    // the non-A datasets, so only pure {0,1} keys are salted — a
+    // multiparty-spanning hot key stays one (large) cell. Two-party —
+    // the reference's similarity scope — is always fully salted.
+    val hot = keyStats.where($"n0" * $"n1" > budget && $"dmax" <= 1)
       .select($"key", $"n0", $"n1")
       .collect()
       .map { r =>

@@ -91,6 +91,20 @@ class SolverDistSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("multiparty + tiny pair budget: salting never drops cross-dataset pairs") {
+    val pages = gen.Corpus.labeledPages(spark,
+      gen.Corpus.Params(entities = 40L, seed = 43L, minVariants = 3, maxVariants = 3))
+      .withColumn("dset3", pmod(xxhash64(col("url")), lit(3)).cast("int"))
+    val base = LinkageParams(blocking = NoBlocking, threshold = 0.7, k = None)
+    val tiny = base.copy(pairBudget = 50L) // would force salting of the single key
+    def run(p: LinkageParams) =
+      Linkage.candidatePairs(pages, p, col("dset3"))
+        .collect().map(r => (r.getDouble(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
+    val a = run(base)
+    val b = run(tiny)
+    assert(a == b && a.map(x => (x._2, x._3)) == Set((0, 1), (0, 2), (1, 2)))
+  }
+
   test("native bit expressions match BitVector; null-safe; SQL-registered") {
     val rnd = new scala.util.Random(13)
     val rows = (0 until 50).map { i =>
