@@ -6,13 +6,16 @@ import graft.core.BitVector
 import graft.gen.RandomClks
 import graft.sim.{ClkRow, DiceKernel}
 
-/** Benchmark main. Prints ONE JSON line:
+/** Benchmark main. Prints ONE JSON line (clean on stdout — build.sbt
+  * sets `outputStrategy := StdoutOutput` so sbt does not wrap it in
+  * `[info]` decoration) and also writes it to `bench.json`:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
   *  "kernel_cmp_per_sec":..., "scaling":{...}}
   *
   * Three measurements:
   *  1. headline SparkEntry queries at the driver-provided parallelism —
-  *     wall seconds each;
+  *     wall seconds each; a query that THROWS records -1 (an explicit
+  *     error marker), never a fast-looking wall time;
   *  2. single-thread Dice-kernel micro-bench — comparisons/sec against
   *     the reference's ~134e6 cmp/s/core plateau at t=0.7
   *     (`/root/reference/README.rst:79-89`, methodology
@@ -21,6 +24,19 @@ import graft.sim.{ClkRow, DiceKernel}
   *  3. all-pairs distributed scoring on identical input at local[N] and
   *     local[4N] — pairs-scored/sec at both + scaling efficiency
   *     (the sandbox stand-in for the north rule's N → 4N executors).
+  *
+  * Scaling methodology: the host CPU is shared (interference) and
+  * turbo-clocks harder under the low-core run, so single trials are
+  * noisy in BOTH directions. Per round, each core count runs
+  * `SPARK_GRAFT_BENCH_TRIALS` timed trials back-to-back in one session
+  * and keeps the best (interference only slows a trial down); the
+  * low/high order alternates between rounds (turbo/thermal state decays
+  * across runs — alternating cancels the order bias); the HEADLINE
+  * `efficiency` is the MEDIAN of the per-round ratios (the max is
+  * reported alongside but is upward-biased: interference during a
+  * low-core trial raises that round's ratio). A clock-independent
+  * CPU-work ratio (executor CPU seconds per comparison at 4N vs N) is
+  * also reported.
   */
 object Bench {
 
@@ -57,11 +73,13 @@ object Bench {
   /** All-pairs scoring throughput at a given core count: two datasets
     * of `n` random CLKs, the right side packed + broadcast (shuffle-
     * free broadcast nested-loop), t=0.7, k=None — mirrors the reference
-    * 20k×20k benchmark rows (`README.rst:79-89`) at cluster scale. */
-  private def allPairsThroughput(cores: Int, n: Long): (Double, Double) = {
+    * 20k×20k benchmark rows (`README.rst:79-89`) at cluster scale.
+    * Runs `trials` timed trials in one session; returns (best
+    * pairs/sec, executor-CPU seconds of the best trial). */
+  private def allPairsThroughput(cores: Int, n: Long, trials: Int): (Double, Double) = {
     val spark = session(cores)
-    // capture total executor CPU time of the timed job — a
-    // clock/interference-independent "work" measure
+    // per-trial executor CPU time — a clock/interference-independent
+    // "work" measure
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
@@ -77,15 +95,21 @@ object Bench {
         .cache()
       a.count() // materialize input outside the timed stage
       val params = LinkageParams(threshold = 0.7, k = None)
-      // short warmup (JIT + task machinery), then one timed trial
+      // short warmup (JIT + task machinery), then the timed trials
       Linkage.scoreAgainstBroadcast(a.limit((n / 8).toInt.max(1)), bRows, params).count()
       spark.sparkContext.addSparkListener(listener)
-      val acc = spark.sparkContext.longAccumulator("comparisons")
-      val t0 = System.nanoTime()
-      Linkage.scoreAgainstBroadcast(a, bRows, params, Some(acc)).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      require(acc.value == n * n, s"expected ${n * n} comparisons, got ${acc.value}")
-      (n.toDouble * n / sec, cpuNs.get() / 1e9)
+      var bestSec = Double.MaxValue
+      var bestCpu = 0.0
+      for (_ <- 1 to trials) {
+        val acc = spark.sparkContext.longAccumulator("comparisons")
+        cpuNs.set(0L)
+        val t0 = System.nanoTime()
+        Linkage.scoreAgainstBroadcast(a, bRows, params, Some(acc)).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(acc.value == n * n, s"expected ${n * n} comparisons, got ${acc.value}")
+        if (sec < bestSec) { bestSec = sec; bestCpu = cpuNs.get() / 1e9 }
+      }
+      (n.toDouble * n / bestSec, bestCpu)
     } finally spark.stop()
   }
 
@@ -93,40 +117,47 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
-    // 1. headline queries
+    // 1. headline queries — failures are recorded as -1, not as a time
     val spark = session(cpus)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     spark.stop()
 
     // 2. kernel micro-bench (single thread, no Spark)
     val kernelCps = kernelMicro()
 
-    // 3. N vs 4N scaling on identical input. The sandbox CPU is shared
-    // and noisy, so low/high are measured back-to-back per round
-    // (controls for interference drift); reported `efficiency` is the
-    // max across rounds (noise only lowers the ratio), with the median,
-    // per-round data, and a clock-independent CPU-work ratio alongside.
+    // 3. N vs 4N scaling on identical input (see the scaladoc for the
+    // noise-control methodology).
     val nScale = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "150000").toLong
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "4").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
     val lowCores = math.max(1, cpus / 4)
     val ratio = cpus.toDouble / lowCores
-    val measured = (1 to rounds).map { _ =>
-      val (lo, loCpu) = allPairsThroughput(lowCores, nScale)
-      val (hi, hiCpu) = allPairsThroughput(cpus, nScale)
+    val measured = (1 to rounds).map { r =>
+      // alternate which core count runs first (turbo/thermal decay bias)
+      val (lo, loCpu, hi, hiCpu) =
+        if (r % 2 == 1) {
+          val (l, lc) = allPairsThroughput(lowCores, nScale, trials)
+          val (h, hc) = allPairsThroughput(cpus, nScale, trials)
+          (l, lc, h, hc)
+        } else {
+          val (h, hc) = allPairsThroughput(cpus, nScale, trials)
+          val (l, lc) = allPairsThroughput(lowCores, nScale, trials)
+          (l, lc, h, hc)
+        }
       (lo, hi, hi / (lo * ratio), loCpu, hiCpu)
     }
     val sortedEff = measured.map(_._3).sorted
     val medianEff = sortedEff(sortedEff.length / 2)
-    // interference and the 8-core turbo advantage only ever LOWER the
-    // measured ratio, so the max across rounds is the least-biased
-    // estimate of true machine scaling; median + per-round data are
-    // reported alongside for transparency.
     val best = measured.maxBy(_._3)
-    val efficiency = best._3
     // work efficiency: CPU-seconds spent per comparison at 4N vs N —
     // 1.0 means no extra work at scale (clock/interference independent)
     val cpuEffs = measured.map(m => m._4 / m._5).sorted
@@ -134,7 +165,9 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val roundsJson = measured.map { case (lo, hi, e, loCpu, hiCpu) =>
       f"""{"low":${lo}%.0f,"high":${hi}%.0f,"eff":${e}%.3f,""" +
         f""""cpu_sec_low":${loCpu}%.1f,"cpu_sec_high":${hiCpu}%.1f}"""
@@ -142,11 +175,16 @@ object Bench {
     val scaling =
       s"""{"cores_low":$lowCores,"cores_high":$cpus,"n":$nScale,""" +
         f""""pairs_per_sec_low":${best._1}%.0f,"pairs_per_sec_high":${best._2}%.0f,""" +
-        f""""efficiency":${efficiency}%.3f,"efficiency_median":${medianEff}%.3f,""" +
+        f""""efficiency":${medianEff}%.3f,"efficiency_max":${best._3}%.3f,""" +
         f""""cpu_work_efficiency":${cpuEfficiency}%.3f,""" +
         s""""rounds":$roundsJson}"""
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        f""""kernel_cmp_per_sec":${kernelCps}%.0f,"scaling":$scaling}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir",""" +
+        f""""kernel_cmp_per_sec":${kernelCps}%.0f,"scaling":$scaling}"""
+    // stdout (clean line) AND a file — belt and braces for the driver
+    println(line)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."), "bench.json"), line)
+    catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
   }
 }

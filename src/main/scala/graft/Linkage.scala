@@ -206,6 +206,13 @@ object Linkage {
     * "comparisons" metric the reference benchmark reports
     * (`/root/reference/anonlink/benchmark.py:66`). */
   def scorePairs(blocked: Dataset[BlockedRow], params: LinkageParams,
+      comparisons: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
+    scorePairsWithKey(blocked, params, comparisons).drop("key")
+
+  /** As [[scorePairs]] but keeps the block key on every emitted pair,
+    * so per-BLOCK semantics (e.g. [[graft.cand.Candidates.perBlockTopK]])
+    * can be restored after salting split a block into cells. */
+  def scorePairsWithKey(blocked: Dataset[BlockedRow], params: LinkageParams,
       comparisons: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = blocked.sparkSession
     import spark.implicits._
@@ -213,7 +220,7 @@ object Linkage {
     val k = params.k
     blocked
       .groupByKey(r => (r.key, r.salt))
-      .flatMapGroups { (_, rows) =>
+      .flatMapGroups { (keySalt, rows) =>
         // fast path: two-party cells (the overwhelmingly common case)
         val a = scala.collection.mutable.ArrayBuffer.empty[ClkRow]
         val b = scala.collection.mutable.ArrayBuffer.empty[ClkRow]
@@ -227,24 +234,26 @@ object Linkage {
               ClkRow(r.recId, r.clk, r.pop)
           }
         }
-        if (others == null) {
-          comparisons.foreach(_.add(a.length.toLong * b.length))
-          DiceKernel.blockDiceTopK(a.toArray, b.toArray, threshold, k, 0, 1)
-        } else {
-          // multiparty: every ordered dataset pair (i0 < i1), like
-          // the reference's itertools.combinations
-          val byDset = scala.collection.mutable.TreeMap(0 -> a, 1 -> b) ++ others
-          val dsets = byDset.iterator.filter(_._2.nonEmpty).map(_._1).toArray
-          dsets.iterator.zipWithIndex.flatMap { case (d0, idx) =>
-            dsets.iterator.drop(idx + 1).flatMap { d1 =>
-              val x = byDset(d0); val y = byDset(d1)
-              comparisons.foreach(_.add(x.length.toLong * y.length))
-              DiceKernel.blockDiceTopK(x.toArray, y.toArray, threshold, k, d0, d1)
+        val cands =
+          if (others == null) {
+            comparisons.foreach(_.add(a.length.toLong * b.length))
+            DiceKernel.blockDiceTopK(a.toArray, b.toArray, threshold, k, 0, 1)
+          } else {
+            // multiparty: every ordered dataset pair (i0 < i1), like
+            // the reference's itertools.combinations
+            val byDset = scala.collection.mutable.TreeMap(0 -> a, 1 -> b) ++ others
+            val dsets = byDset.iterator.filter(_._2.nonEmpty).map(_._1).toArray
+            dsets.iterator.zipWithIndex.flatMap { case (d0, idx) =>
+              dsets.iterator.drop(idx + 1).flatMap { d1 =>
+                val x = byDset(d0); val y = byDset(d1)
+                comparisons.foreach(_.add(x.length.toLong * y.length))
+                DiceKernel.blockDiceTopK(x.toArray, y.toArray, threshold, k, d0, d1)
+              }
             }
           }
-        }
+        cands.map(c => (keySalt._1, c.sim, c.dset0, c.dset1, c.rec0, c.rec1))
       }
-      .toDF("sim", "dset0", "dset1", "rec0", "rec1")
+      .toDF("key", "sim", "dset0", "dset1", "rec0", "rec1")
   }
 
   /** Shuffle-free all-pairs scoring: pack + broadcast the small side,
@@ -282,19 +291,33 @@ object Linkage {
       dsetIdExpr: org.apache.spark.sql.Column): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
-    graft.io.Snapshots.resumeOrCompute(spark, params.checkpointDir, "candidates") {
+    // content key: changed params (or dataset-assignment expression)
+    // must not silently resume a stale snapshot
+    val ck = params.toString + "/" + dsetIdExpr.toString
+    graft.io.Snapshots.resumeOrCompute(spark, params.checkpointDir, "candidates", ck) {
       // blockAndSalt scans the encoded records twice (hot-key census +
       // salted explode). With a checkpoint dir the encode stage is
       // snapshotted so both passes read Parquet instead of re-encoding;
       // without one (tests/small runs) the double encode is accepted.
       val encoded = graft.io.Snapshots
-        .resumeOrCompute(spark, params.checkpointDir, "encoded") {
+        .resumeOrCompute(spark, params.checkpointDir, "encoded", ck) {
           encode(pages, params, dsetIdExpr).toDF()
         }
         .as[EncodedRecord]
       val blocked = blockAndSalt(encoded, params)
-      val scored = scorePairs(blocked, params)
-      Candidates.finalize(scored, params.k)
+      params.k match {
+        case Some(kk) =>
+          // keep the block key through scoring so per-block top-k can
+          // be restored after salting (exact salting invariance —
+          // without this, a salted cell's rank-(k+1) pair could leak
+          // into the global `_enforce_k` stream)
+          val scored = Candidates.perBlockTopK(scorePairsWithKey(blocked, params), kk)
+          Candidates.finalize(scored.drop("key"), params.k)
+        case None =>
+          // no k: cells partition the comparison rectangle, so the
+          // above-threshold pair set is already salting-invariant
+          Candidates.finalize(scorePairs(blocked, params), None)
+      }
     }
   }
 
@@ -302,7 +325,8 @@ object Linkage {
     * (dsetId, recId, clusterId). */
   def clusters(pairs: DataFrame, params: LinkageParams): DataFrame = {
     val spark = pairs.sparkSession
-    graft.io.Snapshots.resumeOrCompute(spark, params.checkpointDir, "clusters") {
+    graft.io.Snapshots.resumeOrCompute(spark, params.checkpointDir, "clusters",
+      params.toString) {
       ConnectedComponents.clusterPairs(pairs)
     }
   }

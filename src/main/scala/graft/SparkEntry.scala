@@ -170,12 +170,18 @@ object SparkEntry {
     }),
     "q_ngram_jaccard" -> ((s, dir) => {
       // exact n-gram Jaccard near-dup pairs via a gram inverted index —
-      // pure Column ops (split/transform/explode), codegen'd end to end
-      val grams = t(s, dir, "documents")
+      // pure Column ops (split/transform/explode), codegen'd end to end.
+      // Stop-grams (document frequency > 200) leave the gram sets before
+      // sizes are taken — same guard + bound as Dedup.ngramJaccardPairs,
+      // mirrored exactly in the DuckDB oracle.
+      val gramsAll = t(s, dir, "documents")
         .withColumn("w", split(col("text"), " "))
         .where(size(col("w")) >= 3)
         .select(col("doc_id"), explode(array_distinct(expr(
           "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))).as("g"))
+      val keep = gramsAll.groupBy("g").agg(count(lit(1)).as("df"))
+        .where(col("df") <= 200).select("g")
+      val grams = gramsAll.join(keep, Seq("g"), "left_semi")
       val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = grams.as("a").join(grams.as("b"), "g")
         .where(col("a.doc_id") < col("b.doc_id"))
@@ -196,6 +202,13 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         ops.TextOps.subwordCountApproxCol(col("text")).as("n_subwords"))
     }),
+    "q_embed_norm" -> ((s, dir) =>
+      // vector math as pure Column ops (codegen'd higher-order
+      // aggregate — left fold preserves the naive accumulation order,
+      // so the double norm is bit-exact against the DuckDB oracle)
+      t(s, dir, "embeddings").select(col("vec_id"),
+        sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))).as("norm"))),
     "q_cumul_hist" -> ((s, dir) => {
       // T3: reverse cumulative counts vs threshold (window over T1 hist)
       val hist = t(s, dir, "lineitem")
@@ -244,14 +257,24 @@ object SparkEntry {
       // sandbox — decode is stubbed, plumbing is real; see ops.Multimodal)
       val media = t(s, dir, "documents").select(col("doc_id").as("id"),
         encode(col("text"), "UTF-8").as("media"), lit("text/html").as("mime"))
-      import s.implicits._
+      // exploded to one scalar row per (id, dim) — the raw array<float>
+      // column is unsortable by the driver's rows-only comparator
       ops.Multimodal.extractFeatures(ops.Multimodal.asMedia(media, "id", "media", "mime")).toDF()
+        .select(col("id"), col("mime"), col("n_bytes"),
+          posexplode(col("features")).as(Seq("dim", "value")))
+        .select(col("id"), col("mime"), col("n_bytes"),
+          col("dim").cast("long").as("dim"),
+          round(col("value").cast("double"), 6).as("value"))
     }),
     "smc_pairs" -> ((s, _) => {
       // S6: SMC similarity with both-sides top-k over the linkage corpus
       val enc = Linkage.encode(corpus(s), linkParams, col("dsetId"))
       val blocked = Linkage.blockAndSalt(enc, linkParams)
-      ops.Smc.bothSidesTopK(ops.Smc.scorePairs(blocked, 0.75, 1024), 5)
+      // dedup multi-band duplicates BEFORE ranking: the same pair found
+      // via two shared bands must not double-count in the both-sides
+      // windows (the reference scores each pair once — no blocking there)
+      ops.Smc.bothSidesTopK(
+        graft.cand.Candidates.dedup(ops.Smc.scorePairs(blocked, 0.75, 1024)), 5)
     }),
     "linkage_hist" -> ((s, _) => {
       // T1 similarity histogram over the pipeline's candidate pairs
@@ -312,8 +335,10 @@ object SparkEntry {
     "q_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         | d3 AS (SELECT doc_id, w FROM d WHERE len(w) >= 3),
-        | grams AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        | grams0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
         |           FROM d3, unnest(range(1, len(w) - 1)) AS t(i)),
+        | keep AS (SELECT g FROM grams0 GROUP BY g HAVING count(*) <= 200),
+        | grams AS (SELECT grams0.* FROM grams0 JOIN keep USING (g)),
         | sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
         | inter AS (SELECT a.doc_id AS id0, b.doc_id AS id1, count(*) AS inter
         |           FROM grams a JOIN grams b USING (g)
@@ -339,6 +364,48 @@ object SparkEntry {
       """SELECT bucket, n, CAST(sum(n) OVER (ORDER BY bucket DESC
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumul
         | FROM (SELECT CAST(floor(l_discount * 20) AS BIGINT) AS bucket, count(*) AS n
-        |       FROM lineitem GROUP BY 1)""".stripMargin
+        |       FROM lineitem GROUP BY 1)""".stripMargin,
+    // DuckDB's list_cosine_similarity over DOUBLE[] is a naive
+    // left-to-right double accumulation with dot/(sqrt(na)*sqrt(nb)) —
+    // Ann.bruteForceTopK computes exactly that, so this is a hash-exact
+    // differential check (the Spark analogue of the reference's
+    // Python-vs-C++ suite, `tests/test_similarity_dice.py:51-66`).
+    "ann_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        | s AS (SELECT query_id, e.vec_id AS id,
+        |         list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS cosine
+        |       FROM q CROSS JOIN embeddings e),
+        | r AS (SELECT query_id, id, cosine,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
+        |       FROM s)
+        | SELECT query_id, id, cosine, CAST(rank AS BIGINT) AS rank FROM r
+        | WHERE rank <= 5""".stripMargin,
+    "q_embed_norm" ->
+      """SELECT vec_id, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |   CAST(embedding AS DOUBLE[]))) AS norm FROM embeddings""".stripMargin,
+    "text_langid" ->
+      """WITH b AS (SELECT doc_id, text,
+        |   string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        | c AS (SELECT doc_id, text, greatest(len(toks), 1) AS n,
+        |   len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that','with'))) AS c_en,
+        |   len(list_filter(toks, t -> t IN ('le','la','les','et','de','des','un','une','est'))) AS c_fr,
+        |   len(list_filter(toks, t -> t IN ('el','los','las','de','y','que','en','una','es'))) AS c_es,
+        |   len(list_filter(toks, t -> t IN ('der','die','das','und','ist','von','mit','ein'))) AS c_de,
+        |   length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+        |   length(text) AS tl
+        |  FROM b),
+        | s AS (SELECT doc_id, cjk, tl,
+        |   CAST(c_en AS DOUBLE)/n AS s_en, CAST(c_fr AS DOUBLE)/n AS s_fr,
+        |   CAST(c_es AS DOUBLE)/n AS s_es, CAST(c_de AS DOUBLE)/n AS s_de FROM c),
+        | g AS (SELECT *, greatest(s_en, s_fr, s_es, s_de) AS best FROM s)
+        | SELECT doc_id,
+        |  CASE WHEN tl > 0 AND cjk*3 >= tl THEN 'zh'
+        |       WHEN best = 0 THEN 'und'
+        |       WHEN s_en = best THEN 'en' WHEN s_fr = best THEN 'fr'
+        |       WHEN s_es = best THEN 'es' ELSE 'de' END AS lang_pred,
+        |  CASE WHEN tl > 0 AND cjk*3 >= tl THEN CAST(cjk AS DOUBLE)/tl
+        |       WHEN best = 0 THEN 0.0 ELSE best END AS lang_score
+        | FROM g""".stripMargin
   )
 }

@@ -48,6 +48,25 @@ object Candidates {
       .drop("rank_r", "rank_l")
   }
 
+  /** Per-BLOCK per-left-record top-k over a pair stream that still
+    * carries its block `key` column. The kernel applies per-left top-k
+    * per (block, salt) CELL; a salted block's union of cell top-ks is a
+    * superset of the unsalted per-block top-k (each left row sees all
+    * rights across its row of cells, and any true block-top-k pair
+    * ranks ≤ k within its own cell too). One window restores the exact
+    * per-block stream, so salting is *exactly* result-invariant — not
+    * just up to `_enforce_k`'s chunked semantics. Tie-break matches the
+    * kernel: equal sims prefer the smaller right record
+    * (`/root/reference/anonlink/similarities/_dice_python.py:71-72`). */
+  def perBlockTopK(pairsWithKey: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("key", "dset0", "dset1", "rec0")
+      .orderBy(desc("sim"), asc("rec1"))
+    pairsWithKey
+      .withColumn("rank_b", row_number().over(w))
+      .where(col("rank_b") <= k)
+      .drop("rank_b")
+  }
+
   /** Dedup + optional k-enforcement (the shape of `_merge_similarities`,
     * `candidate_generation.py:60-91`). The global sort itself is a
     * presentation property — apply [[sorted]] only at output

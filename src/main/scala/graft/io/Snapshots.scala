@@ -1,8 +1,9 @@
 package graft.io
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
 
 /** Stage-boundary snapshot checkpoints with a lineage manifest.
   *
@@ -15,13 +16,31 @@ import java.nio.file.{Files, Paths}
   * gives each pipeline stage restart-into-the-middle semantics — the
   * Spark-batch analogue of the reference's dump/merge shard files
   * (`/root/reference/anonlink/serialization.py:182-338`).
+  *
+  * All filesystem access (manifest included) goes through the Hadoop
+  * `FileSystem` resolved from the directory's scheme, so hdfs:// and
+  * s3a:// checkpoint dirs work the same as local paths — a
+  * driver-local `java.nio.Files` write would silently break them.
   */
 object Snapshots {
 
-  private def manifestPath(dir: String) = Paths.get(dir, "_MANIFEST.json")
+  private def fsFor(dir: String, spark: SparkSession): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
 
-  def exists(dir: String): Boolean =
-    Files.exists(manifestPath(dir)) && Files.exists(Paths.get(dir, "_SUCCESS"))
+  /** Stage directory name: the stage name plus a content key hash, so a
+    * re-run with different parameters gets a different snapshot dir and
+    * cannot silently resume from a stale one. */
+  def stageDir(base: String, stage: String, contentKey: String): String =
+    if (contentKey.isEmpty) s"$base/$stage"
+    else s"$base/$stage-" +
+      java.lang.Long.toHexString(graft.core.Hashing.str(contentKey, 0x57a6eL))
+
+  def exists(dir: String, spark: SparkSession = SparkSession.active): Boolean = {
+    val (fs, p) = fsFor(dir, spark)
+    fs.exists(new Path(p, "_MANIFEST.json")) && fs.exists(new Path(p, "_SUCCESS"))
+  }
 
   /** Write `df` as a snapshot under `dir` and return a re-read of it
     * (so downstream stages read from stable storage, truncating
@@ -42,20 +61,26 @@ object Snapshots {
       s""""${f.name}":"${f.dataType.simpleString}"""").mkString("{", ",", "}")
     val manifest =
       s"""{"snapshot_id":"$snapshotId","row_count":$rowCount,"partitions":$parts,"schema":$schemaJson}"""
-    Files.writeString(manifestPath(dir), manifest)
+    val (fs, p) = fsFor(dir, spark)
+    val out = fs.create(new Path(p, "_MANIFEST.json"), true)
+    try out.write(manifest.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
     back
   }
 
   /** Resume from an existing snapshot, or compute + snapshot it.
     * This is the checkpoint-resume entry point: a re-run of the
-    * pipeline with the same checkpointDir skips completed stages. */
-  def resumeOrCompute(spark: SparkSession, dir: Option[String], stage: String)(
-      compute: => DataFrame): DataFrame =
+    * pipeline with the same checkpointDir AND the same `contentKey`
+    * (hash of the stage's parameters) skips completed stages; changed
+    * parameters land in a fresh stage dir instead of silently reusing
+    * stale results. */
+  def resumeOrCompute(spark: SparkSession, dir: Option[String], stage: String,
+      contentKey: String = "")(compute: => DataFrame): DataFrame =
     dir match {
       case None => compute
       case Some(d) =>
-        val stageDir = s"$d/$stage"
-        if (exists(stageDir)) spark.read.parquet(stageDir)
-        else write(compute, stageDir)
+        val sd = stageDir(d, stage, contentKey)
+        if (exists(sd, spark)) spark.read.parquet(sd)
+        else write(compute, sd)
     }
 }

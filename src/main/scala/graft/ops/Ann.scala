@@ -70,10 +70,26 @@ object Ann {
       .toDF("id", "unit")
   }
 
+  /** Euclidean norm accumulated left-to-right in double — the naive
+    * order, deliberately: `cosine = dot / (sqrt(na) * sqrt(nb))` with
+    * naive double accumulation is bit-identical to DuckDB's
+    * `list_cosine_similarity(DOUBLE[])`, which makes the brute-force
+    * path hash-exactly oracle-checkable (verified on 190/190 pairs of
+    * the test embeddings). */
+  def norm(v: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    math.sqrt(s)
+  }
+
   /** Exact cosine top-k of every query against the corpus.
     * Queries are collected + broadcast (top-k search is almost always
     * few-queries-vs-huge-corpus; for corpus×corpus use
-    * [[Dedup.embeddingNearDup]]). Returns (query_id, id, cosine, rank). */
+    * [[Dedup.embeddingNearDup]]). Corpus vectors stay raw with a
+    * precomputed norm (same flops as normalize-at-ingest, but the
+    * cosine is the exact double `dot/(|a||b|)`).
+    * Returns (query_id, id, cosine, rank). */
   def bruteForceTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -82,18 +98,21 @@ object Ann {
       k: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qRows = normalized(queries, idCol, vecCol)
-      .as[(Long, Seq[Float])].collect().map { case (id, v) => (id, v.toArray) }
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => val a = v.toArray; (id, a, norm(a)) }
     val bc = spark.sparkContext.broadcast(qRows)
-    val partTopK = normalized(corpus, idCol, vecCol).as[(Long, Seq[Float])]
+    val partTopK = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
       .mapPartitions { it =>
         val qs = bc.value
         // per-query bounded heap over this partition's corpus slice
         val heaps = Array.fill(qs.length)(
           scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
             Ordering.by { case (c, id) => (-c, id) })) // worst on top
-        it.foreach { case (id, unit) =>
-          val v = unit.toArray
+        it.foreach { case (id, vec) =>
+          val v = vec.toArray
+          val nv = norm(v)
           var qi = 0
           while (qi < qs.length) {
             val q = qs(qi)._2
@@ -101,10 +120,14 @@ object Ann {
             var d = 0
             val n = math.min(q.length, v.length)
             while (d < n) { dot += q(d).toDouble * v(d); d += 1 }
+            // clamp to [-1, 1]: the naive self-dot can land 1 ULP above
+            // 1.0; DuckDB's list_cosine_similarity clamps the same way
+            val raw = dot / (qs(qi)._3 * nv)
+            val cos = if (raw > 1.0) 1.0 else if (raw < -1.0) -1.0 else raw
             val h = heaps(qi)
-            if (h.size < k) h.enqueue((dot, id))
-            else if (dot > h.head._1 || (dot == h.head._1 && id < h.head._2)) {
-              h.dequeue(); h.enqueue((dot, id))
+            if (h.size < k) h.enqueue((cos, id))
+            else if (cos > h.head._1 || (cos == h.head._1 && id < h.head._2)) {
+              h.dequeue(); h.enqueue((cos, id))
             }
             qi += 1
           }
@@ -128,6 +151,30 @@ object Ann {
     * assignment is one shuffle; at scale the corpus would be
     * partitioned/bucketed by cell id so probes are partition-pruned
     * scans. */
+  /** Fit the IVF coarse quantizer (seeded KMeans) on a bounded sample
+    * of the unit vectors. At 100 TB the quantizer is fit ONCE on a
+    * sample and the centroids persisted (and the corpus bucketed by
+    * cell id so probes are partition-pruned scans) — re-fitting KMeans
+    * over the full corpus per query batch is a full scan per iteration. */
+  def fitCentroids(
+      corpusUnit: DataFrame,
+      nLists: Int,
+      seed: Long,
+      maxFitRows: Long = 50000L): Array[Array[Float]] = {
+    val n = corpusUnit.count()
+    val sampled =
+      if (n > maxFitRows)
+        corpusUnit.sample(withReplacement = false, maxFitRows.toDouble / n, seed)
+      else corpusUnit
+    val toVec = udf((v: Seq[Float]) =>
+      org.apache.spark.ml.linalg.Vectors.dense(v.map(_.toDouble).toArray))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nLists).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    km.fit(sampled.withColumn("features", toVec(col("unit"))))
+      .clusterCenters.map(_.toArray.map(_.toFloat))
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -136,19 +183,14 @@ object Ann {
       k: Int,
       nLists: Int = 16,
       nProbe: Int = 4,
-      seed: Long = 0x1ffL): DataFrame = {
+      seed: Long = 0x1ffL,
+      centroids: Option[Array[Array[Float]]] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val corpusN = normalized(corpus, idCol, vecCol).cache()
-    // coarse quantizer: seeded KMeans over the unit vectors
-    val toVec = udf((v: Seq[Float]) =>
-      org.apache.spark.ml.linalg.Vectors.dense(v.map(_.toDouble).toArray))
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nLists).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("features").setPredictionCol("cell")
-    val model = km.fit(corpusN.withColumn("features", toVec($"unit")))
-    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
-    val cBc = spark.sparkContext.broadcast(centroids)
+    // coarse quantizer: precomputed centroids, or a sample fit
+    val cents = centroids.getOrElse(fitCentroids(corpusN, nLists, seed))
+    val cBc = spark.sparkContext.broadcast(cents)
 
     def nearestCells(v: Array[Float], n: Int): Seq[Int] = {
       val cs = cBc.value

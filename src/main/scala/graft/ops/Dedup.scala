@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.block.{Blocking, MinhashParams}
 import graft.core.Hashing
@@ -9,10 +10,28 @@ import graft.solve.ConnectedComponents
 
 /** Deduplication operators for a training-data pipeline, each scaled
   * the Spark way: exact = hash groupBy; near-dup = signature → band
-  * bucket equi-join → verify → connected components → canonical keeper.
+  * bucket → bounded-task same-bucket pairs → verify → connected
+  * components → canonical keeper.
   *
   * All candidate generation is *within one table* (self-dedup), unlike
   * the bipartite linkage pipeline; pairs are canonicalized `id0 < id1`.
+  *
+  * Two guards make the bucket self-joins web-scale-safe (a raw
+  * `banded.join(banded, "band")` is quadratic in the hottest bucket —
+  * 100k identical boilerplate pages would put ~10^10 pairs in one
+  * task):
+  *
+  *  1. '''exact pre-collapse''' — identical texts enter LSH once, as
+  *     their min-id representative; members are re-attached to the
+  *     representative's cluster afterwards. Output-preserving: copies
+  *     share all signatures, so un-collapsed they'd always land in one
+  *     component whose min id IS the representative.
+  *  2. '''triangle tiling''' ([[bucketPairs]]) — a still-hot bucket
+  *     (many *distinct* near-identical docs) is split into bounded
+  *     cells that partition its unordered-pair set exactly, the
+  *     self-join analogue of `Linkage.saltExploded`'s bipartite salting
+  *     (itself the recast of the reference's `split_to_chunks`,
+  *     `/root/reference/anonlink/concurrency.py:39-86`).
   */
 object Dedup {
 
@@ -23,11 +42,100 @@ object Dedup {
     docs.groupBy(xxhash64(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** All unordered same-bucket pairs `(id0 < id1)` from a `(bucket,
+    * id)` table, with hot buckets exactly triangle-tiled: a bucket with
+    * n rows where n·(n−1)/2 > `pairBudget` is split into
+    * s = ⌈n/√pairBudget⌉ slices by a deterministic id hash; a pair
+    * lands in exactly one cell (the diagonal cell for same-slice
+    * pairs, the (lo,hi) cell otherwise), so every cell holds ≤ ~2·√budget
+    * rows ⇒ ≤ ~budget pairs per task, and the union over cells is
+    * EXACTLY the bucket's pair set — no recall loss, just bounded
+    * tasks. Cold buckets pass through as a single cell.
+    *
+    * The hot census is collected to the driver like the linkage path's
+    * (`Linkage.saltExploded`): hot buckets are few by construction —
+    * each carries ≥ √budget distinct rows.
+    *
+    * Pairs are NOT deduplicated across buckets — callers `.distinct()`.
+    */
+  def bucketPairs(bucketed: DataFrame, pairBudget: Long = 4L * 1000 * 1000): DataFrame = {
+    val spark = bucketed.sparkSession
+    import spark.implicits._
+    require(pairBudget >= 2, s"pairBudget must be >= 2, got $pairBudget")
+    val rows = bucketed.select(col("bucket").cast("long"), col("id").cast("long"))
+      .as[(Long, Long)]
+    val side = math.max(1L, math.sqrt(pairBudget.toDouble).toLong)
+    val hot = rows.groupBy($"bucket").agg(count(lit(1)).as("n"))
+      .where($"n" * ($"n" - 1) / 2 > pairBudget)
+      .as[(Long, Long)].collect()
+      .map { case (b, n) =>
+        b -> math.max(1L, math.ceil(n.toDouble / side).toLong).toInt
+      }.toMap
+    val hotB = spark.sparkContext.broadcast(hot)
+    rows
+      .mapPartitions { it =>
+        val h = hotB.value
+        it.flatMap { case (b, id) =>
+          h.get(b) match {
+            case None => Iterator.single((b, 0, 0, id))
+            case Some(s) =>
+              val own = java.lang.Math
+                .floorMod(Hashing.mix64(id ^ Hashing.mix64(b)), s.toLong).toInt
+              (0 until s).iterator.map { j =>
+                val lo = math.min(own, j); val hi = math.max(own, j)
+                (b, lo * s + hi, if (own == lo) 0 else 1, id)
+              }
+          }
+        }
+      }
+      .groupByKey { case (b, cell, _, _) => (b, cell) }
+      .flatMapGroups { (_, rs) =>
+        val lo = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val hi = scala.collection.mutable.ArrayBuffer.empty[Long]
+        rs.foreach { case (_, _, s, id) => if (s == 0) lo += id else hi += id }
+        if (hi.isEmpty) {
+          // diagonal (or cold) cell: all unordered pairs within
+          val a = lo.toArray
+          java.util.Arrays.sort(a)
+          a.indices.iterator.flatMap(i =>
+            (i + 1 until a.length).iterator.map(j => (a(i), a(j))))
+        } else {
+          // off-diagonal cell: pairs BETWEEN the two slices only (the
+          // within-slice pairs belong to that slice's diagonal cell)
+          lo.iterator.flatMap(x => hi.iterator.map(y =>
+            (math.min(x, y), math.max(x, y))))
+        }
+      }
+      .toDF("id0", "id1")
+  }
+
+  /** Collapse identical texts to their min-id representative.
+    * Returns (id, rep, text) where `rep == id` marks representatives. */
+  private def withTextRep(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .withColumn("rep",
+        min("id").over(Window.partitionBy(xxhash64(col("text")))))
+
+  /** Re-attach collapsed members to their representative's component:
+    * (id, clusterId, keeper); singleton representatives keep their own
+    * id as clusterId. Output matches the un-collapsed computation: the
+    * min id of any mixed component is itself a representative. */
+  private def expandReps(withRep: DataFrame, repComps: DataFrame): DataFrame = {
+    withRep.select(col("id"), col("rep"))
+      .join(repComps.withColumnRenamed("node", "rep"), Seq("rep"), "left")
+      .withColumn("clusterId", coalesce(col("component"), col("rep")))
+      .withColumn("keeper", min(col("id")).over(Window.partitionBy(col("clusterId"))))
+      .select("id", "clusterId", "keeper")
+  }
+
   /** MinHash + LSH near-dup clusters:
-    * shingle → minhash signature → band keys → same-band pairs →
-    * exact-Jaccard verification → CC → (id, clusterId, keeper).
+    * exact pre-collapse → shingle → minhash signature → band keys →
+    * bounded same-band pairs → exact-Jaccard verification → CC →
+    * member re-expansion → (id, clusterId, keeper).
     *
     * @param jaccardThreshold verified n-gram Jaccard to call a dup.
+    * @param pairBudget max unordered pairs per band cell before
+    *                   triangle tiling kicks in ([[bucketPairs]]).
     */
   def minhashLsh(
       docs: DataFrame,
@@ -36,12 +144,14 @@ object Dedup {
       params: MinhashParams = MinhashParams(),
       ngramN: Int = 3,
       jaccardThreshold: Double = 0.5,
-      seed: Long = 0xded0bL): DataFrame = {
+      seed: Long = 0xded0bL,
+      pairBudget: Long = 4L * 1000 * 1000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // one pass: id → (band keys, bottom sketch for verification)
-    val sigs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val withRep = withTextRep(docs, idCol, textCol).cache()
+    // one pass per representative: rep → (band keys, sorted gram set)
+    val sigs = withRep.where($"id" === $"rep").select($"id", $"text")
       .as[(Long, String)]
       .map { case (id, text) =>
         val grams = ClkEncoder.wordNgramHashes(text, ngramN, seed).distinct
@@ -51,12 +161,9 @@ object Dedup {
       .toDF("id", "bands", "grams")
       .cache()
 
-    // band-bucket candidate pairs (canonical id0 < id1), deduped
-    val banded = sigs.select($"id", explode($"bands").as("band"))
-    val pairs = banded.as("a").join(banded.as("b"), "band")
-      .where($"a.id" < $"b.id")
-      .select($"a.id".as("id0"), $"b.id".as("id1"))
-      .distinct()
+    // bounded same-band candidate pairs (canonical id0 < id1), deduped
+    val banded = sigs.select(explode($"bands").as("bucket"), $"id")
+    val pairs = bucketPairs(banded, pairBudget).distinct()
 
     // verify with exact n-gram Jaccard over the sorted gram arrays
     val jacc = udf { (a: Seq[Long], b: Seq[Long]) =>
@@ -78,65 +185,86 @@ object Dedup {
     val verified = pairs.join(g0, "id0").join(g1, "id1")
       .withColumn("jaccard", jacc($"g0", $"g1"))
       .where($"jaccard" >= jaccardThreshold)
-      .select($"id0", $"id1", $"jaccard")
+      .select($"id0", $"id1")
 
-    clustersWithKeeper(verified, sigs.select($"id"))
+    expandReps(withRep, ConnectedComponents.run(
+      verified.select($"id0".as("src"), $"id1".as("dst"))))
   }
 
-  /** SimHash near-dup: 64-bit simhash, banded into 4×16-bit chunks
-    * (pigeonhole: hamming ≤ 3 ⇒ at least one chunk identical), verify
-    * exact hamming ≤ maxHamming, cluster. */
+  /** SimHash near-dup: exact pre-collapse → 64-bit simhash, banded
+    * into 4×16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one
+    * chunk identical) → bounded same-chunk pairs → exact hamming ≤
+    * maxHamming → CC → member re-expansion. */
   def simhash(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      seed: Long = 0x51a54L): DataFrame = {
+      seed: Long = 0x51a54L,
+      pairBudget: Long = 4L * 1000 * 1000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
 
-    val sigs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val withRep = withTextRep(docs, idCol, textCol).cache()
+    val sigs = withRep.where($"id" === $"rep").select($"id", $"text")
       .as[(Long, String)]
       .map { case (id, text) => (id, TextOps.simhash(text, seed)) }
       .toDF("id", "sig")
       .cache()
 
-    val chunked = sigs.select($"id", $"sig",
+    // bucket = (chunk index, 16-bit chunk value) packed into one long
+    val chunked = sigs.select(
       explode(array((0 until 4).map(c =>
-        struct(lit(c).as("chunk"), shiftright($"sig", c * 16).bitwiseAND(0xffffL).as("key"))): _*)).as("ck"))
-      .select($"id", $"sig", $"ck.chunk", $"ck.key")
+        (shiftright($"sig", c * 16).bitwiseAND(0xffffL) + lit(c.toLong << 16)).as(s"k$c")): _*))
+        .as("bucket"),
+      $"id")
+    val pairs = bucketPairs(chunked, pairBudget).distinct()
 
-    val pairs = chunked.as("a").join(chunked.as("b"), Seq("chunk", "key"))
-      .where($"a.id" < $"b.id")
-      .select($"a.id".as("id0"), $"b.id".as("id1"), $"a.sig".as("s0"), $"b.sig".as("s1"))
-      .distinct()
+    val s0 = sigs.select($"id".as("id0"), $"sig".as("s0"))
+    val s1 = sigs.select($"id".as("id1"), $"sig".as("s1"))
+    val verified = pairs.join(s0, "id0").join(s1, "id1")
       .withColumn("hamming", bit_count($"s0".bitwiseXOR($"s1")))
       .where($"hamming" <= maxHamming)
-      .select($"id0", $"id1", $"hamming")
+      .select($"id0", $"id1")
 
-    clustersWithKeeper(pairs, sigs.select($"id"))
+    expandReps(withRep, ConnectedComponents.run(
+      verified.select($"id0".as("src"), $"id1".as("dst"))))
   }
 
   /** Direct exact n-gram Jaccard pairs via gram-inverted-index
     * equi-join (PPJoin-lite): docs → (gram, id) → self-join on gram →
-    * per-pair intersection counts → Jaccard. No signatures, exact —
-    * quadratic only within gram posting lists. */
+    * per-pair intersection counts → Jaccard.
+    *
+    * Grams with document frequency above `maxDf` are treated as
+    * stop-grams and removed from the gram sets entirely (both the
+    * index AND the set sizes), so the Jaccard stays exact over the
+    * filtered sets — a well-defined semantic, not an approximation
+    * error. Without the cap one boilerplate gram with df=10^6 yields
+    * 10^12 join rows in a single task; with it the join work is
+    * bounded by Σ min(df, maxDf)² per gram. A stop-gram shared by both
+    * docs lowers inter and union by one each, so filtered Jaccard ≤
+    * unfiltered for j < 1 — the cap only ever tightens membership. */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       ngramN: Int = 3,
       threshold: Double = 0.5,
-      seed: Long = 0x9a33L): DataFrame = {
+      seed: Long = 0x9a33L,
+      maxDf: Long = 100000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val grams = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val gramsAll = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         ClkEncoder.wordNgramHashes(text, ngramN, seed).distinct.map(g => (id, g))
       }
       .toDF("id", "gram")
+    // df-cap: stop-grams leave the gram sets before sizes are taken
+    val keep = gramsAll.groupBy($"gram").agg(count(lit(1)).as("df"))
+      .where($"df" <= maxDf).select($"gram")
+    val grams = gramsAll.join(keep.hint("SHUFFLE_HASH"), Seq("gram"), "left_semi")
       .cache()
     val sizes = grams.groupBy($"id").agg(count(lit(1)).as("n"))
     val inter = grams.as("a").join(grams.as("b"), "gram")
@@ -151,15 +279,20 @@ object Dedup {
       .select($"id0", $"id1", $"jaccard")
   }
 
-  /** Embedding-cosine near-dup: normalized vectors, LSH-bucketed by
-    * random-hyperplane sign bits, verified by exact cosine. */
+  /** Embedding-cosine near-dup PAIRS: normalized vectors, LSH-bucketed
+    * by random-hyperplane sign bits, bounded same-bucket pairs
+    * ([[bucketPairs]] — identical boilerplate embeddings share every
+    * bucket, so the guard matters here too), verified by exact cosine.
+    * `planes` must grow with corpus size (buckets ≈ 2^planes); the
+    * tiling bounds task size at any setting. */
   def embeddingNearDup(
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
       cosineThreshold: Double = 0.95,
       planes: Int = 8,
-      seed: Long = 0xe3bedL): DataFrame = {
+      seed: Long = 0xe3bedL,
+      pairBudget: Long = 4L * 1000 * 1000): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val vecs = embeddings.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
@@ -175,13 +308,13 @@ object Dedup {
       }
       .toDF("id", "unit", "bucket")
       .cache()
-    val pairs = vecs.as("a").join(vecs.as("b"), "bucket")
-      .where($"a.id" < $"b.id")
-      .select($"a.id".as("id0"), $"b.id".as("id1"), $"a.unit".as("u0"), $"b.unit".as("u1"))
+    val cand = bucketPairs(vecs.select($"bucket", $"id"), pairBudget).distinct()
+    val u0 = vecs.select($"id".as("id0"), $"unit".as("u0"))
+    val u1 = vecs.select($"id".as("id1"), $"unit".as("u1"))
+    cand.join(u0, "id0").join(u1, "id1")
       .withColumn("cosine", Ann.dotUdf($"u0", $"u1"))
       .where($"cosine" >= cosineThreshold)
       .select($"id0", $"id1", $"cosine")
-    pairs
   }
 
   /** Shared tail: pairs → CC clusters → keeper = min id per cluster.

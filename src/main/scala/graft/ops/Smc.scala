@@ -26,6 +26,12 @@ object Smc {
         val a = scala.collection.mutable.ArrayBuffer.empty[ClkRow]
         val b = scala.collection.mutable.ArrayBuffer.empty[ClkRow]
         rows.foreach { r =>
+          // the reference raises NotImplementedError for >2 datasets
+          // (`/root/reference/anonlink/similarities/_smc.py:109-112`);
+          // silently lumping dsetId>=2 into side 1 would cross-score
+          // mislabeled records, so fail loudly the same way.
+          require(r.dsetId <= 1,
+            s"SMC supports exactly 2 datasets; got dsetId=${r.dsetId}")
           if (r.dsetId == 0) a += ClkRow(r.recId, r.clk, r.pop)
           else b += ClkRow(r.recId, r.clk, r.pop)
         }

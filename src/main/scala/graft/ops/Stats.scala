@@ -10,12 +10,20 @@ import graft.solve.Candidate
 object Stats {
 
   /** T1 `similarities_hist` (`stats.py:21-35`): fixed-bin histogram of
-    * similarity scores over [lo, hi]; last bin closed like np.histogram. */
+    * similarity scores over [lo, hi]; last bin closed and empty bins
+    * emitted with n=0, like np.histogram (which returns a dense array
+    * of length `bins` — a groupBy alone would drop absent buckets).
+    * Values outside [lo, hi] are excluded, matching np.histogram's
+    * `range` semantics. */
   def similaritiesHist(pairs: DataFrame, bins: Int, lo: Double, hi: Double): DataFrame = {
     val w = (hi - lo) / bins
-    pairs.select(
-      least(floor((col("sim") - lo) / w), lit(bins - 1)).cast("long").as("bucket"))
+    val counts = pairs
+      .where(col("sim") >= lo && col("sim") <= hi)
+      .select(least(floor((col("sim") - lo) / w), lit(bins - 1)).cast("long").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
+    pairs.sparkSession.range(0, bins).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n"))
   }
 
   /** T3 `cumul_number_matches_vs_threshold` (`stats.py:109-135`):

@@ -56,13 +56,20 @@ object DiceKernel {
     locally {
       val rows = inputRows.clone() // don't mutate (possibly shared) input
       java.util.Arrays.sort(rows, Ordering.by((r: ClkRow) => r.recId))
+      val byteLen = if (n == 0) 0 else inputRows(0).clk.length
       var i = 0
       while (i < n) {
         val r = rows(i)
         recIds(i) = r.recId
         pops(i) = r.pop
+        // consistent filter length, like the reference's
+        // _check_filters_size (`_dice_x86.py:84-92`) — silently
+        // truncating a longer row would score bits inconsistent with
+        // the precomputed popcount.
+        require(r.clk.length == byteLen,
+          s"inconsistent CLK byte length: ${r.clk.length} vs $byteLen")
         val ws = BitVector.fromBytes(r.clk)
-        System.arraycopy(ws, 0, flat, i * width, math.min(ws.length, width))
+        System.arraycopy(ws, 0, flat, i * width, ws.length)
         i += 1
       }
     }

@@ -42,8 +42,22 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(true)
 
+    // convergence signature helper: edge set compared via (count,
+    // hash-sum) in ONE aggregate instead of an exceptAll join. The edge
+    // sets are distinct, so equal count + equal 64-bit hash-sum means
+    // equal sets (collision odds ~2^-64 per round).
+    def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
+      // decimal sum: exact and overflow-free under ANSI mode
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64($"src", $"dst").cast("decimal(38,0)"))).head
+      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+
     var converged = false
     var iter = 0
+    // carry the previous round's signature instead of recomputing
+    // sig(e) every round — halves the per-round aggregate count
+    var prevSig = sig(e)
     while (!converged && iter < maxIterations) {
       // --- large-star: for each node u, connect every strictly-larger
       // neighbor to the minimum of Γ(u) ∪ {u}.
@@ -73,18 +87,10 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint(true)
 
-      // convergence: edge set unchanged — compared via (count, hash-sum)
-      // in ONE aggregate per side instead of an exceptAll join. The
-      // edge sets are distinct, so equal count + equal 64-bit hash-sum
-      // means equal sets (collision odds ~2^-64 per round).
-      def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
-        // decimal sum: exact and overflow-free under ANSI mode
-        val r = df.agg(count(lit(1)),
-          sum(xxhash64($"src", $"dst").cast("decimal(38,0)"))).head
-        (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
-      }
+      // convergence: edge set unchanged vs the carried previous signature
       val after = sig(small)
-      val changed = after != sig(e)
+      val changed = after != prevSig
+      prevSig = after
       onRound(iter, after._1)
       e = small
       converged = !changed

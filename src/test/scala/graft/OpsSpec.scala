@@ -147,6 +147,63 @@ class OpsSpec extends AnyFunSuite {
     (0 until 5).foreach(i => assert(pairs.contains((i.toLong, 100L + i)), s"missed planted pair $i"))
   }
 
+  // ---------------- dedup scale guards ----------------
+
+  test("bucketPairs: hot-bucket triangle tiling is exact and bounded") {
+    // one hot bucket (300 rows => 44850 pairs >> budget 100) + one cold
+    val n = 300
+    val rows = (0 until n).map(i => (7L, i.toLong)) ++ Seq((8L, 1000L), (8L, 1001L))
+    val got = Dedup.bucketPairs(rows.toDF("bucket", "id"), pairBudget = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every unordered pair exactly once (tiling partitions, never dups)
+    assert(got.length == got.toSet.size, "duplicate pairs across cells")
+    val want = (for { i <- 0 until n; j <- i + 1 until n }
+      yield (i.toLong, j.toLong)).toSet + ((1000L, 1001L))
+    assert(got.toSet == want)
+  }
+
+  test("minhash LSH survives a planted hot cluster: exact copies collapse, " +
+    "near-identical distinct docs are triangle-tiled") {
+    val boiler = "terms of service apply to all content on this website " +
+      "please review our policy before continuing to browse these pages"
+    // 300 exact copies of doc 1 (pre-collapse: ONE representative enters
+    // LSH) + 200 distinct near-identical docs (hot bands: tiling bounds
+    // the per-task pair count at pairBudget=50)
+    val copies = (1 to 300).map(i => (i.toLong, boiler))
+    val near = (1 to 200).map(i => (1000L + i, boiler + s" tail$i"))
+    val df = (copies ++ near).toDF("id", "text")
+    val res = Dedup.minhashLsh(df, "id", "text", jaccardThreshold = 0.5, pairBudget = 50)
+      .cache()
+    val byId = res.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byId.size == 500)
+    // all copies AND all near-dups share one cluster whose keeper is
+    // the minimum id overall
+    val clusters = byId.values.map(_._1).toSet
+    assert(clusters.size == 1, s"expected one cluster, got ${clusters.size}")
+    assert(byId.values.map(_._2).toSet == Set(1L))
+    // pre-collapse really happened: only distinct texts were banded
+    // (ONE representative for the 300 copies + 200 near docs)
+    val res2 = Dedup.minhashLsh(df, "id", "text", jaccardThreshold = 0.5,
+      pairBudget = Long.MaxValue / 4)
+    assert(res2.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      == res.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq,
+      "tiling changed results")
+  }
+
+  test("ngram jaccard df-cap: stop-grams leave the sets; generous cap = uncapped") {
+    val shared = "alpha beta gamma" // one trigram shared by every doc
+    val df = (1 to 30).map(i => (i.toLong, s"$shared unique$i word$i thing$i extra$i"))
+      .toDF("id", "text")
+    // 7 words => 5 trigrams/doc; only the shared one intersects:
+    // jaccard = 1/(5+5-1) = 0.111...
+    val uncapped = Dedup.ngramJaccardPairs(df, "id", "text", threshold = 0.1, maxDf = 1000L)
+    assert(uncapped.count() == 30L * 29 / 2)
+    // df(shared)=30 > 10 => stop-gram: removed from sets on BOTH sides
+    // of the Jaccard, so no pair survives (docs share nothing else)
+    val capped = Dedup.ngramJaccardPairs(df, "id", "text", threshold = 0.1, maxDf = 10L)
+    assert(capped.count() == 0)
+  }
+
   // ---------------- ANN ----------------
 
   private lazy val embeddings = spark.read

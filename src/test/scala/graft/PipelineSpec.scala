@@ -154,6 +154,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(fplan.contains("PushedFilters") && fplan.contains("EqualTo(lang,en)"), fplan)
   }
 
+  test("adversarial salting: k=1 on a hot tie-heavy block is exactly invariant") {
+    // k=1 maximizes the cell-vs-block top-k gap: per block each left
+    // record keeps ONE pair, but a salted cell would emit one per CELL —
+    // without Candidates.perBlockTopK a cell's rank-2 pair leaks into
+    // the global _enforce_k stream and can displace another block's
+    // pair in a shared right-record window (the chunked-semantics trap).
+    // (i % 7) text variants plant many sim-1.0 ties across datasets, so
+    // the tie-break path is exercised too.
+    val boiler = (0 until 300).map { i =>
+      (s"http://hot.example/$i",
+        "boilerplate terms of service page with common shared text v" + (i % 7),
+        i % 2)
+    }
+    val pages = boiler.toDF("url", "text", "dsetId")
+    val base = LinkageParams(blocking = MinhashBlocking(), threshold = 0.7, k = Some(1))
+    val salted = base.copy(pairBudget = 200L)
+    val a = collectPairs(Linkage.candidatePairs(pages, base, col("dsetId")))
+    val b = collectPairs(Linkage.candidatePairs(pages, salted, col("dsetId")))
+    assert(a.nonEmpty && a == b)
+  }
+
   test("real skew: boilerplate duplicated 400x triggers hot-block salting, results exact") {
     // 400 near-identical boilerplate pages (one hot band cluster) + the
     // normal corpus. |A|x|B| for the boilerplate bands ~ 200*200 per
@@ -199,12 +220,19 @@ class PipelineSpec extends AnyFunSuite {
     val params = LinkageParams(blocking = MinhashBlocking(), threshold = 0.8, k = Some(5),
       checkpointDir = Some(dir))
     val first = collectPairs(Linkage.candidatePairs(pagesDf, params, dsetExpr))
-    assert(graft.io.Snapshots.exists(s"$dir/candidates"))
+    val stageDir = graft.io.Snapshots.stageDir(dir, "candidates",
+      params.toString + "/" + dsetExpr.toString)
+    assert(graft.io.Snapshots.exists(stageDir))
     // resumed run must not recompute: poison the input — resume still works
     val poisoned = pagesDf.limit(0)
     val second = collectPairs(Linkage.candidatePairs(poisoned, params, dsetExpr))
     assert(first.nonEmpty && first == second)
-    val manifest = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/candidates/_MANIFEST.json"))
+    val manifest = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$stageDir/_MANIFEST.json"))
     assert(manifest.contains("snapshot_id") && manifest.contains("partitions"))
+    // changed params must NOT resume from the stale snapshot: a different
+    // threshold on the poisoned (empty) input recomputes → empty result
+    val changed = params.copy(threshold = 0.9)
+    val third = collectPairs(Linkage.candidatePairs(poisoned, changed, dsetExpr))
+    assert(third.isEmpty)
   }
 }
