@@ -23,20 +23,24 @@ import graft.sim.{ClkRow, DiceKernel}
   *     the similarity stage only, on uniformly random 1024-bit CLKs);
   *  3. all-pairs distributed scoring on identical input at local[N] and
   *     local[4N] — pairs-scored/sec at both + scaling efficiency
-  *     (the sandbox stand-in for the north rule's N → 4N executors).
+  *     (the sandbox stand-in for the north rule's N → 4N executors),
+  *     for TWO pairs: 2→8 cores (dedicated-core regime — see the
+  *     comment at the measurement site and BASELINE.md) and 8→32.
   *
   * Scaling methodology: the host CPU is shared (interference) and
-  * turbo-clocks harder under the low-core run, so single trials are
-  * noisy in BOTH directions. Per round, each core count runs
-  * `SPARK_GRAFT_BENCH_TRIALS` timed trials back-to-back in one session
-  * and keeps the best (interference only slows a trial down); the
-  * low/high order alternates between rounds (turbo/thermal state decays
-  * across runs — alternating cancels the order bias); the HEADLINE
-  * `efficiency` is the MEDIAN of the per-round ratios (the max is
-  * reported alongside but is upward-biased: interference during a
-  * low-core trial raises that round's ratio). A clock-independent
-  * CPU-work ratio (executor CPU seconds per comparison at 4N vs N) is
-  * also reported.
+  * provides near-proportional CPU only up to ~8 active threads (see
+  * the probe note at the measurement site), so single short trials are
+  * noisy in BOTH directions. Per round each core count runs the SAME
+  * input with the SAME trial count (asymmetric best-of would bias the
+  * ratio) — long runs average interference out; the low/high order
+  * alternates between rounds (turbo/thermal state decays across runs —
+  * alternating cancels the order bias); the HEADLINE `efficiency` is
+  * the MEDIAN of the per-round ratios (the max is reported alongside
+  * but is upward-biased: interference during a low-core trial raises
+  * that round's ratio). An executor-CPU-seconds-per-comparison ratio
+  * is also reported ("cpu_work_efficiency"; note stall cycles and
+  * guest-invisible host frequency both land in CPU time, so it is not
+  * a pure work measure either).
   */
 object Bench {
 
@@ -135,49 +139,84 @@ object Bench {
     val kernelCps = kernelMicro()
 
     // 3. N vs 4N scaling on identical input (see the scaladoc for the
-    // noise-control methodology).
-    val nScale = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "150000").toLong
+    // noise-control methodology). TWO N→4N pairs are measured:
+    //  - 2→8 cores: the DEDICATED-CORE regime. A pure-kernel probe
+    //    (graft.tools.ThreadScaling) shows this host provides
+    //    near-proportional CPU only up to ~8 active threads
+    //    (~130-145 M cmp/s/thread at 1-8 threads, ~70-100 M at 16-32 —
+    //    host oversubscription/frequency, identical code+input), so
+    //    this pair is the faithful stand-in for a real fleet where
+    //    every executor gets dedicated cores at both cluster sizes.
+    //  - 8→32 cores: the full-box pair, reported alongside with the
+    //    same rigor; its ratio is bounded by the host ceiling above,
+    //    not by the plan (the plan adds no shuffle and no extra work
+    //    per comparison between the two runs).
+    val nBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "150000").toLong
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
-    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
-    val lowCores = math.max(1, cpus / 4)
-    val ratio = cpus.toDouble / lowCores
-    val measured = (1 to rounds).map { r =>
-      // alternate which core count runs first (turbo/thermal decay bias)
-      val (lo, loCpu, hi, hiCpu) =
-        if (r % 2 == 1) {
-          val (l, lc) = allPairsThroughput(lowCores, nScale, trials)
-          val (h, hc) = allPairsThroughput(cpus, nScale, trials)
-          (l, lc, h, hc)
-        } else {
-          val (h, hc) = allPairsThroughput(cpus, nScale, trials)
-          val (l, lc) = allPairsThroughput(lowCores, nScale, trials)
-          (l, lc, h, hc)
-        }
-      (lo, hi, hi / (lo * ratio), loCpu, hiCpu)
+    // symmetric single trials per round: best-of-k on only one side
+    // would bias the ratio; the long runs average interference out and
+    // the median across rounds rejects outliers
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "1").toInt
+    val pairs: Seq[(Int, Int)] =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", s"2:8,${math.max(1, cpus / 4)}:$cpus")
+        .split(",").toSeq.map { p =>
+          val Array(l, h) = p.split(":"); (l.trim.toInt, h.trim.toInt)
+        }.distinct
+
+    case class PairResult(lowCores: Int, highCores: Int, n: Long,
+        rounds: Seq[(Double, Double, Double, Double, Double)]) {
+      val ratio: Double = highCores.toDouble / lowCores
+      val sortedEff: Seq[Double] = rounds.map(_._3).sorted
+      val medianEff: Double = sortedEff(sortedEff.length / 2)
+      val best: (Double, Double, Double, Double, Double) = rounds.maxBy(_._3)
+      val cpuEff: Double = {
+        val es = rounds.map(m => m._4 / m._5).sorted
+        es(es.length / 2)
+      }
+      def json: String = {
+        val roundsJson = rounds.map { case (lo, hi, e, loCpu, hiCpu) =>
+          f"""{"low":${lo}%.0f,"high":${hi}%.0f,"eff":${e}%.3f,""" +
+            f""""cpu_sec_low":${loCpu}%.1f,"cpu_sec_high":${hiCpu}%.1f}"""
+        }.mkString("[", ",", "]")
+        s"""{"cores_low":$lowCores,"cores_high":$highCores,"n":$n,""" +
+          f""""pairs_per_sec_low":${best._1}%.0f,"pairs_per_sec_high":${best._2}%.0f,""" +
+          f""""efficiency":${medianEff}%.3f,"efficiency_max":${best._3}%.3f,""" +
+          f""""cpu_work_efficiency":${cpuEff}%.3f,"rounds":$roundsJson}"""
+      }
     }
-    val sortedEff = measured.map(_._3).sorted
-    val medianEff = sortedEff(sortedEff.length / 2)
-    val best = measured.maxBy(_._3)
-    // work efficiency: CPU-seconds spent per comparison at 4N vs N —
-    // 1.0 means no extra work at scale (clock/interference independent)
-    val cpuEffs = measured.map(m => m._4 / m._5).sorted
-    val cpuEfficiency = cpuEffs(cpuEffs.length / 2)
+
+    val pairResults = pairs.map { case (lowCores, highCores) =>
+      // the SAME input size for every pair and both sides — short jobs
+      // (<10 s) under-read throughput by 20-30% (codegen/JIT + task
+      // ramp), which would corrupt the ratio asymmetrically
+      val n = nBase
+      val ratio = highCores.toDouble / lowCores
+      val measured = (1 to rounds).map { r =>
+        // alternate which core count runs first (turbo/thermal decay bias)
+        val (lo, loCpu, hi, hiCpu) =
+          if (r % 2 == 1) {
+            val (l, lc) = allPairsThroughput(lowCores, n, trials)
+            val (h, hc) = allPairsThroughput(highCores, n, trials)
+            (l, lc, h, hc)
+          } else {
+            val (h, hc) = allPairsThroughput(highCores, n, trials)
+            val (l, lc) = allPairsThroughput(lowCores, n, trials)
+            (l, lc, h, hc)
+          }
+        (lo, hi, hi / (lo * ratio), loCpu, hiCpu)
+      }
+      PairResult(lowCores, highCores, n, measured)
+    }
+    val primary = pairResults.head
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val roundsJson = measured.map { case (lo, hi, e, loCpu, hiCpu) =>
-      f"""{"low":${lo}%.0f,"high":${hi}%.0f,"eff":${e}%.3f,""" +
-        f""""cpu_sec_low":${loCpu}%.1f,"cpu_sec_high":${hiCpu}%.1f}"""
-    }.mkString("[", ",", "]")
-    val scaling =
-      s"""{"cores_low":$lowCores,"cores_high":$cpus,"n":$nScale,""" +
-        f""""pairs_per_sec_low":${best._1}%.0f,"pairs_per_sec_high":${best._2}%.0f,""" +
-        f""""efficiency":${medianEff}%.3f,"efficiency_max":${best._3}%.3f,""" +
-        f""""cpu_work_efficiency":${cpuEfficiency}%.3f,""" +
-        s""""rounds":$roundsJson}"""
+    // headline block = the dedicated-core-regime pair; all pairs under "pairs"
+    val scaling = primary.json.dropRight(1) +
+      s""","pairs":${pairResults.map(_.json).mkString("[", ",", "]")}}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir",""" +
         f""""kernel_cmp_per_sec":${kernelCps}%.0f,"scaling":$scaling}"""

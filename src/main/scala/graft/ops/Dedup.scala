@@ -62,29 +62,35 @@ object Dedup {
     val spark = bucketed.sparkSession
     import spark.implicits._
     require(pairBudget >= 2, s"pairBudget must be >= 2, got $pairBudget")
-    val rows = bucketed.select(col("bucket").cast("long"), col("id").cast("long"))
-      .as[(Long, Long)]
+    val base = bucketed.select(col("bucket").cast("long").as("bucket"),
+      col("id").cast("long").as("id"))
+    // cold buckets take the plain codegen'd equi-self-join (zero typed
+    // serde overhead — this is the whole stream when nothing is skewed)
+    def selfJoin(d: DataFrame): DataFrame =
+      d.as("a").join(d.as("b"), "bucket")
+        .where(col("a.id") < col("b.id"))
+        .select(col("a.id").as("id0"), col("b.id").as("id1"))
     val side = math.max(1L, math.sqrt(pairBudget.toDouble).toLong)
-    val hot = rows.groupBy($"bucket").agg(count(lit(1)).as("n"))
+    val hot = base.groupBy($"bucket").agg(count(lit(1)).as("n"))
       .where($"n" * ($"n" - 1) / 2 > pairBudget)
       .as[(Long, Long)].collect()
       .map { case (b, n) =>
         b -> math.max(1L, math.ceil(n.toDouble / side).toLong).toInt
       }.toMap
+    if (hot.isEmpty) return selfJoin(base)
     val hotB = spark.sparkContext.broadcast(hot)
-    rows
+    val cold = selfJoin(base.where(!col("bucket").isInCollection(hot.keys.toSeq)))
+    val hotPairs = base.where(col("bucket").isInCollection(hot.keys.toSeq))
+      .as[(Long, Long)]
       .mapPartitions { it =>
         val h = hotB.value
         it.flatMap { case (b, id) =>
-          h.get(b) match {
-            case None => Iterator.single((b, 0, 0, id))
-            case Some(s) =>
-              val own = java.lang.Math
-                .floorMod(Hashing.mix64(id ^ Hashing.mix64(b)), s.toLong).toInt
-              (0 until s).iterator.map { j =>
-                val lo = math.min(own, j); val hi = math.max(own, j)
-                (b, lo * s + hi, if (own == lo) 0 else 1, id)
-              }
+          val s = h(b)
+          val own = java.lang.Math
+            .floorMod(Hashing.mix64(id ^ Hashing.mix64(b)), s.toLong).toInt
+          (0 until s).iterator.map { j =>
+            val lo = math.min(own, j); val hi = math.max(own, j)
+            (b, lo * s + hi, if (own == lo) 0 else 1, id)
           }
         }
       }
@@ -94,7 +100,7 @@ object Dedup {
         val hi = scala.collection.mutable.ArrayBuffer.empty[Long]
         rs.foreach { case (_, _, s, id) => if (s == 0) lo += id else hi += id }
         if (hi.isEmpty) {
-          // diagonal (or cold) cell: all unordered pairs within
+          // diagonal cell: all unordered pairs within the slice
           val a = lo.toArray
           java.util.Arrays.sort(a)
           a.indices.iterator.flatMap(i =>
@@ -107,6 +113,7 @@ object Dedup {
         }
       }
       .toDF("id0", "id1")
+    cold.unionByName(hotPairs)
   }
 
   /** Collapse identical texts to their min-id representative.
@@ -308,7 +315,9 @@ object Dedup {
       }
       .toDF("id", "unit", "bucket")
       .cache()
-    val cand = bucketPairs(vecs.select($"bucket", $"id"), pairBudget).distinct()
+    // no .distinct(): each id has exactly ONE bucket, and the triangle
+    // tiling puts each unordered pair in exactly one cell
+    val cand = bucketPairs(vecs.select($"bucket", $"id"), pairBudget)
     val u0 = vecs.select($"id".as("id0"), $"unit".as("u0"))
     val u1 = vecs.select($"id".as("id1"), $"unit".as("u1"))
     cand.join(u0, "id0").join(u1, "id1")

@@ -32,7 +32,13 @@ object ConnectedComponents {
   def run(
       edges: DataFrame,
       maxIterations: Int = 50,
-      onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
+      onRound: (Int, Long) => Unit = (_, _) => (),
+      /** once the (deduped) edge set fits comfortably on the driver,
+        * label it with a sequential union-find instead of iterating
+        * Spark rounds — each distributed round costs two self-joins +
+        * checkpoints, pure overhead on a small tail. Same concession
+        * the reference makes by solving single-threaded post-top-k. */
+      driverFinishThreshold: Long = 100000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -41,6 +47,25 @@ object ConnectedComponents {
       .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
       .distinct()
       .localCheckpoint(true)
+
+    if (e.count() <= driverFinishThreshold) {
+      val arr = e.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      arr.foreach { case (s, d) =>
+        val (rs, rd) = (find(s), find(d))
+        if (rs != rd) { if (rs < rd) parent(rd) = rs else parent(rs) = rd }
+      }
+      val nodes = arr.iterator.flatMap { case (s, d) => Iterator(s, d) }.toSet
+      onRound(0, arr.length.toLong)
+      return nodes.iterator.map(nd => (nd, find(nd))).toSeq.toDF("node", "component")
+    }
 
     // convergence signature helper: edge set compared via (count,
     // hash-sum) in ONE aggregate instead of an exceptAll join. The edge

@@ -92,7 +92,8 @@ object DistributedGreedy {
           // order so later unions/windows see a stable layout
           .select(Candidates.columns.map(col): _*)
           .localCheckpoint(true)
-        if (remaining.isEmpty) done = true
+        // no isEmpty check: the next iteration's count() (driver-finish
+        // gate) detects the empty remainder without an extra job
       }
       iter += 1
     }

@@ -282,3 +282,48 @@ object PlanLab {
     spark.stop()
   }
 }
+
+/** Pure-kernel thread-scaling probe (no Spark): T JVM threads each run
+  * the packed Dice kernel over a slice of side A against a shared
+  * packed side B. Isolates the MACHINE's parallel-scaling behavior
+  * (host frequency scaling + shared-cache/bandwidth contention) from
+  * Spark overheads — used to pick the honest N→4N pair for Bench and
+  * to document the platform confound in BASELINE.md. */
+object ThreadScaling {
+  def main(args: Array[String]): Unit = {
+    import graft.core.BitVector
+    import graft.gen.RandomClks
+    import graft.sim.{ClkRow, DiceKernel}
+    val n = if (args.nonEmpty) args(0).toInt else 20000
+    def rows(seed: Long) = (0 until n).map { i =>
+      val w = RandomClks.clkFor(i.toLong, 16, seed)
+      ClkRow(i.toLong, BitVector.toBytes(w), BitVector.popcount(w))
+    }.toArray
+    val a = new DiceKernel.Packed(rows(0xaaL))
+    val b = new DiceKernel.Packed(rows(0xbbL))
+    // slice a's rows into per-thread Packed views
+    def slices(t: Int): Array[DiceKernel.Packed] = {
+      val all = rows(0xaaL)
+      (0 until t).map { i =>
+        val lo = (n.toLong * i / t).toInt; val hi = (n.toLong * (i + 1) / t).toInt
+        new DiceKernel.Packed(all.slice(lo, hi))
+      }.toArray
+    }
+    // warmup
+    DiceKernel.blockDiceTopKPacked(a, b, 0.7, None, 0, 1).size
+    for (t <- Seq(1, 2, 4, 8, 16, 32)) {
+      val sl = slices(t)
+      var best = Double.MaxValue
+      for (_ <- 1 to 3) {
+        val threads = sl.map { s =>
+          new Thread(() => { DiceKernel.blockDiceTopKPacked(s, b, 0.7, None, 0, 1).size; () })
+        }
+        val t0 = System.nanoTime()
+        threads.foreach(_.start()); threads.foreach(_.join())
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      val cps = n.toDouble * n / best
+      println(f"[scal] threads=$t%2d total=${cps / 1e6}%8.1f M cmp/s  per-thread=${cps / t / 1e6}%7.1f M")
+    }
+  }
+}

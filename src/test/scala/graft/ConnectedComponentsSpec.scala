@@ -24,7 +24,14 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     byRoot.flatMap { case (_, ns) => val m = ns.min; ns.map(_ -> m) }.toMap
   }
 
+  /** driverFinishThreshold = 0 forces the DISTRIBUTED large-star/
+    * small-star path — these tests must exercise the iteration, not the
+    * small-graph union-find shortcut. */
   private def runCC(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.run(edges.toDF("src", "dst"), driverFinishThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def runCCDriver(edges: Seq[(Long, Long)]): Map[Long, Long] =
     ConnectedComponents.run(edges.toDF("src", "dst"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
@@ -53,6 +60,15 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       val got = runCC(edges)
       val want = unionFind(edges)
       assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("driver-finish shortcut == distributed path on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val edges = (1 to 100).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter(e => e._1 != e._2)
+      assert(runCCDriver(edges) == runCC(edges), s"trial $trial")
     }
   }
 
