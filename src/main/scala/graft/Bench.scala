@@ -106,11 +106,16 @@ object Bench {
       var bestCpu = 0.0
       for (_ <- 1 to trials) {
         val acc = spark.sparkContext.longAccumulator("comparisons")
+        // drain the async listener bus before resetting the CPU counter
+        // — onTaskEnd events arrive after count() returns, and without
+        // the drain one trial's CPU time bleeds into the next
+        org.apache.spark.graftlistener.drainListenerBus(spark.sparkContext)
         cpuNs.set(0L)
         val t0 = System.nanoTime()
         Linkage.scoreAgainstBroadcast(a, bRows, params, Some(acc)).count()
         val sec = (System.nanoTime() - t0) / 1e9
         require(acc.value == n * n, s"expected ${n * n} comparisons, got ${acc.value}")
+        org.apache.spark.graftlistener.drainListenerBus(spark.sparkContext)
         if (sec < bestSec) { bestSec = sec; bestCpu = cpuNs.get() / 1e9 }
       }
       (n.toDouble * n / bestSec, bestCpu)

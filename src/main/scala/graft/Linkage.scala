@@ -125,17 +125,30 @@ object Linkage {
     * Translation of `split_to_chunks`'s bounded-task guarantee
     * (`concurrency.py:74-86`) into key-space salting.
     */
-  def blockAndSalt(encoded: Dataset[EncodedRecord], params: LinkageParams): Dataset[BlockedRow] = {
+  def blockAndSalt(encoded: Dataset[EncodedRecord], params: LinkageParams): Dataset[BlockedRow] =
+    blockAndSaltWithStats(encoded, params)._1
+
+  /** As [[blockAndSalt]], also reporting whether ANY block was salted —
+    * callers use it to skip the per-block top-k restoration window when
+    * every cell is already a whole block. */
+  def blockAndSaltWithStats(
+      encoded: Dataset[EncodedRecord],
+      params: LinkageParams): (Dataset[BlockedRow], Boolean) = {
     val exploded = encoded
       .withColumn("key", explode(col("bandKeys")))
       .select(col("key"), col("dsetId"), col("recId"), col("clk"), col("pop"))
-    saltExploded(exploded, params)
+    saltExplodedWithStats(exploded, params)
   }
 
   /** Salt an exploded `(key, dsetId, recId, clk, pop)` table — shared
     * by band blocking ([[blockAndSalt]]) and external-key blocking
     * ([[listBlocked]]). */
-  def saltExploded(exploded: DataFrame, params: LinkageParams): Dataset[BlockedRow] = {
+  def saltExploded(exploded: DataFrame, params: LinkageParams): Dataset[BlockedRow] =
+    saltExplodedWithStats(exploded, params)._1
+
+  /** As [[saltExploded]], returning also whether any key was salted. */
+  def saltExplodedWithStats(
+      exploded: DataFrame, params: LinkageParams): (Dataset[BlockedRow], Boolean) = {
     val spark = exploded.sparkSession
     import spark.implicits._
 
@@ -180,7 +193,7 @@ object Linkage {
     // corpus (≈ bands × matched docs) — at 500k pages it already OOMs a
     // broadcast build, so force a shuffle-hash join: scale-safe at any
     // size, and the per-partition hash build is tiny.
-    exploded.join(active.hint("SHUFFLE_HASH"), Seq("key"), "left_semi")
+    val salted = exploded.join(active.hint("SHUFFLE_HASH"), Seq("key"), "left_semi")
       .select($"key", $"dsetId", $"recId", $"clk", $"pop")
       .as[(Long, Int, Long, Array[Byte], Int)].mapPartitions { it =>
       val hotMap = hotB.value
@@ -196,6 +209,7 @@ object Linkage {
         }
       }
     }
+    (salted, hot.nonEmpty)
   }
 
   /** C1/C2/S2: per-(key,salt) cell, run the packed Dice kernel for
@@ -291,32 +305,39 @@ object Linkage {
       dsetIdExpr: org.apache.spark.sql.Column): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
-    // content key: changed params (or dataset-assignment expression)
-    // must not silently resume a stale snapshot
+    // content keys: changed params (or dataset-assignment expression)
+    // must not silently resume a stale snapshot. The encode stage keys
+    // on only what encoding depends on (clk, blocking, dsetIdExpr) —
+    // a threshold/k change must NOT discard the expensive encode
+    // snapshot, just the candidates one.
     val ck = params.toString + "/" + dsetIdExpr.toString
+    val ckEncode = params.clk.toString + "/" + params.blocking.toString +
+      "/" + dsetIdExpr.toString
     graft.io.Snapshots.resumeOrCompute(spark, params.checkpointDir, "candidates", ck) {
       // blockAndSalt scans the encoded records twice (hot-key census +
       // salted explode). With a checkpoint dir the encode stage is
       // snapshotted so both passes read Parquet instead of re-encoding;
       // without one (tests/small runs) the double encode is accepted.
       val encoded = graft.io.Snapshots
-        .resumeOrCompute(spark, params.checkpointDir, "encoded", ck) {
+        .resumeOrCompute(spark, params.checkpointDir, "encoded", ckEncode) {
           encode(pages, params, dsetIdExpr).toDF()
         }
         .as[EncodedRecord]
-      val blocked = blockAndSalt(encoded, params)
+      val (blocked, anySalted) = blockAndSaltWithStats(encoded, params)
       params.k match {
-        case Some(kk) =>
+        case Some(kk) if anySalted =>
           // keep the block key through scoring so per-block top-k can
           // be restored after salting (exact salting invariance —
           // without this, a salted cell's rank-(k+1) pair could leak
           // into the global `_enforce_k` stream)
           val scored = Candidates.perBlockTopK(scorePairsWithKey(blocked, params), kk)
           Candidates.finalize(scored.drop("key"), params.k)
-        case None =>
-          // no k: cells partition the comparison rectangle, so the
-          // above-threshold pair set is already salting-invariant
-          Candidates.finalize(scorePairs(blocked, params), None)
+        case _ =>
+          // nothing salted (every cell is a whole block — the kernel's
+          // per-cell top-k already IS per-block) or no k at all (cells
+          // partition the comparison rectangle): skip the restoration
+          // window, the stream is already exact
+          Candidates.finalize(scorePairs(blocked, params), params.k)
       }
     }
   }

@@ -174,14 +174,15 @@ object SparkEntry {
       // Stop-grams (document frequency > 200) leave the gram sets before
       // sizes are taken — same guard + bound as Dedup.ngramJaccardPairs,
       // mirrored exactly in the DuckDB oracle.
-      val gramsAll = t(s, dir, "documents")
+      val grams = t(s, dir, "documents")
         .withColumn("w", split(col("text"), " "))
         .where(size(col("w")) >= 3)
         .select(col("doc_id"), explode(array_distinct(expr(
           "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))).as("g"))
-      val keep = gramsAll.groupBy("g").agg(count(lit(1)).as("df"))
-        .where(col("df") <= 200).select("g")
-      val grams = gramsAll.join(keep, Seq("g"), "left_semi")
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+        .where(col("df") <= 200)
+        .drop("df")
+        .cache()
       val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = grams.as("a").join(grams.as("b"), "g")
         .where(col("a.doc_id") < col("b.doc_id"))
@@ -385,8 +386,10 @@ object SparkEntry {
       """SELECT vec_id, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
         |   CAST(embedding AS DOUBLE[]))) AS norm FROM embeddings""".stripMargin,
     "text_langid" ->
-      """WITH b AS (SELECT doc_id, text,
-        |   string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      """WITH b0 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        | b AS (SELECT doc_id, text,
+        |   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+        |   FROM b0),
         | c AS (SELECT doc_id, text, greatest(len(toks), 1) AS n,
         |   len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that','with'))) AS c_en,
         |   len(list_filter(toks, t -> t IN ('le','la','les','et','de','des','un','une','est'))) AS c_fr,

@@ -121,9 +121,13 @@ object Ann {
             val n = math.min(q.length, v.length)
             while (d < n) { dot += q(d).toDouble * v(d); d += 1 }
             // clamp to [-1, 1]: the naive self-dot can land 1 ULP above
-            // 1.0; DuckDB's list_cosine_similarity clamps the same way
+            // 1.0; DuckDB's list_cosine_similarity clamps the same way,
+            // and maps a zero-norm (0/0 = NaN) cosine to -1.0 — without
+            // that, NaN sorts ABOVE every real cosine in the rank
+            // window and a zero vector would displace true neighbors
             val raw = dot / (qs(qi)._3 * nv)
-            val cos = if (raw > 1.0) 1.0 else if (raw < -1.0) -1.0 else raw
+            val cos =
+              if (raw.isNaN || raw < -1.0) -1.0 else if (raw > 1.0) 1.0 else raw
             val h = heaps(qi)
             if (h.size < k) h.enqueue((cos, id))
             else if (cos > h.head._1 || (cos == h.head._1 && id < h.head._2)) {

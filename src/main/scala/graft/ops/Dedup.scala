@@ -90,24 +90,33 @@ object Dedup {
             .floorMod(Hashing.mix64(id ^ Hashing.mix64(b)), s.toLong).toInt
           (0 until s).iterator.map { j =>
             val lo = math.min(own, j); val hi = math.max(own, j)
-            (b, lo * s + hi, if (own == lo) 0 else 1, id)
+            // Long cell id: lo*s+hi overflows Int once s > ~46k (a
+            // single bucket of ~9e7 rows at the default budget)
+            (b, lo.toLong * s + hi, if (own == lo) 0 else 1, id)
           }
         }
       }
       .groupByKey { case (b, cell, _, _) => (b, cell) }
-      .flatMapGroups { (_, rs) =>
+      .flatMapGroups { (key, rs) =>
+        // diagonal-ness comes from the CELL ID (lo == hi ⇔ cell is a
+        // multiple of s+1), never from "one side empty": an off-
+        // diagonal cell whose hi slice got no rows must emit NOTHING —
+        // its lo rows' within-slice pairs belong to the diagonal cell.
+        val (b, cell) = key
+        val s = hotB.value(b)
+        val diagonal = cell % (s + 1L) == 0L && cell / (s + 1L) < s
         val lo = scala.collection.mutable.ArrayBuffer.empty[Long]
         val hi = scala.collection.mutable.ArrayBuffer.empty[Long]
-        rs.foreach { case (_, _, s, id) => if (s == 0) lo += id else hi += id }
-        if (hi.isEmpty) {
-          // diagonal cell: all unordered pairs within the slice
+        rs.foreach { case (_, _, t, id) => if (t == 0) lo += id else hi += id }
+        if (diagonal) {
+          // all unordered pairs within the slice (tags are all 0 here)
           val a = lo.toArray
           java.util.Arrays.sort(a)
           a.indices.iterator.flatMap(i =>
             (i + 1 until a.length).iterator.map(j => (a(i), a(j))))
         } else {
           // off-diagonal cell: pairs BETWEEN the two slices only (the
-          // within-slice pairs belong to that slice's diagonal cell)
+          // within-slice pairs belong to each slice's diagonal cell)
           lo.iterator.flatMap(x => hi.iterator.map(y =>
             (math.min(x, y), math.max(x, y))))
         }
@@ -262,16 +271,19 @@ object Dedup {
       maxDf: Long = 100000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val gramsAll = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    // df-cap via ONE window over the gram partition (a census aggregate
+    // + semi-join would re-run the n-gram hashing twice); stop-grams
+    // leave the gram sets before sizes are taken. Cached: the filtered
+    // index feeds the sizes aggregate and both sides of the self-join.
+    val grams = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         ClkEncoder.wordNgramHashes(text, ngramN, seed).distinct.map(g => (id, g))
       }
       .toDF("id", "gram")
-    // df-cap: stop-grams leave the gram sets before sizes are taken
-    val keep = gramsAll.groupBy($"gram").agg(count(lit(1)).as("df"))
-      .where($"df" <= maxDf).select($"gram")
-    val grams = gramsAll.join(keep.hint("SHUFFLE_HASH"), Seq("gram"), "left_semi")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
+      .where($"df" <= maxDf)
+      .drop("df")
       .cache()
     val sizes = grams.groupBy($"id").agg(count(lit(1)).as("n"))
     val inter = grams.as("a").join(grams.as("b"), "gram")

@@ -89,7 +89,11 @@ object TextOps {
         }
         if (cjk * 3 >= text.length) ("zh", cjk.toDouble / text.length)
         else {
-          val tokens = text.toLowerCase.split("\\s+")
+          // drop empty tokens: Java split keeps a leading "" (and SQL
+          // regex splitters keep trailing ones too) — counting only
+          // real tokens makes the scores splitter-independent, so the
+          // DuckDB oracle can reproduce them exactly
+          val tokens = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
           val n = math.max(tokens.length, 1)
           val scored = langMarkers.collect { case (lang, ms) if ms.nonEmpty =>
             val set = ms.toSet

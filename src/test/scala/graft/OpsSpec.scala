@@ -160,6 +160,16 @@ class OpsSpec extends AnyFunSuite {
     val want = (for { i <- 0 until n; j <- i + 1 until n }
       yield (i.toLong, j.toLong)).toSet + ((1000L, 1001L))
     assert(got.toSet == want)
+
+    // regression: s > n forces EMPTY slices; an off-diagonal cell with
+    // an empty hi slice must emit nothing (not duplicate the lo slice's
+    // within pairs — diagonal-ness is decided by cell id, not emptiness)
+    val few = (0 until 20).map(i => (9L, i.toLong)).toDF("bucket", "id")
+    val got2 = Dedup.bucketPairs(few, pairBudget = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got2.length == got2.toSet.size, "duplicate pairs with empty slices")
+    assert(got2.toSet ==
+      (for { i <- 0 until 20; j <- i + 1 until 20 } yield (i.toLong, j.toLong)).toSet)
   }
 
   test("minhash LSH survives a planted hot cluster: exact copies collapse, " +

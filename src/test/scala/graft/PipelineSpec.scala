@@ -229,10 +229,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(first.nonEmpty && first == second)
     val manifest = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$stageDir/_MANIFEST.json"))
     assert(manifest.contains("snapshot_id") && manifest.contains("partitions"))
-    // changed params must NOT resume from the stale snapshot: a different
-    // threshold on the poisoned (empty) input recomputes → empty result
+    // changed scoring params must NOT resume the stale CANDIDATES
+    // snapshot — but must still reuse the (expensive) ENCODE snapshot,
+    // whose content key excludes threshold/k. With poisoned input the
+    // only way to produce the correct threshold-0.9 pairs is: encode
+    // resumed from snapshot + candidates recomputed at 0.9.
     val changed = params.copy(threshold = 0.9)
     val third = collectPairs(Linkage.candidatePairs(poisoned, changed, dsetExpr))
-    assert(third.isEmpty)
+    val expected = collectPairs(Linkage.candidatePairs(
+      pagesDf, changed.copy(checkpointDir = None), dsetExpr))
+    assert(third == expected && third != first)
   }
 }
