@@ -157,7 +157,7 @@ object Bench {
     //    not by the plan (the plan adds no shuffle and no extra work
     //    per comparison between the two runs).
     val nBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "150000").toLong
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
     // symmetric single trials per round: best-of-k on only one side
     // would bias the ratio; the long runs average interference out and
     // the median across rounds rejects outliers
@@ -169,19 +169,20 @@ object Bench {
         }.distinct
 
     case class PairResult(lowCores: Int, highCores: Int, n: Long,
-        rounds: Seq[(Double, Double, Double, Double, Double)]) {
+        rounds: Seq[(Double, Double, Double, Double, Double, Double)]) {
       val ratio: Double = highCores.toDouble / lowCores
       val sortedEff: Seq[Double] = rounds.map(_._3).sorted
       val medianEff: Double = sortedEff(sortedEff.length / 2)
-      val best: (Double, Double, Double, Double, Double) = rounds.maxBy(_._3)
+      val best: (Double, Double, Double, Double, Double, Double) = rounds.maxBy(_._3)
       val cpuEff: Double = {
         val es = rounds.map(m => m._4 / m._5).sorted
         es(es.length / 2)
       }
       def json: String = {
-        val roundsJson = rounds.map { case (lo, hi, e, loCpu, hiCpu) =>
+        val roundsJson = rounds.map { case (lo, hi, e, loCpu, hiCpu, canary) =>
           f"""{"low":${lo}%.0f,"high":${hi}%.0f,"eff":${e}%.3f,""" +
-            f""""cpu_sec_low":${loCpu}%.1f,"cpu_sec_high":${hiCpu}%.1f}"""
+            f""""cpu_sec_low":${loCpu}%.1f,"cpu_sec_high":${hiCpu}%.1f,""" +
+            f""""host_canary_mcps":${canary / 1e6}%.1f}"""
         }.mkString("[", ",", "]")
         s"""{"cores_low":$lowCores,"cores_high":$highCores,"n":$n,""" +
           f""""pairs_per_sec_low":${best._1}%.0f,"pairs_per_sec_high":${best._2}%.0f,""" +
@@ -197,6 +198,10 @@ object Bench {
       val n = nBase
       val ratio = highCores.toDouble / lowCores
       val measured = (1 to rounds).map { r =>
+        // per-round single-thread canary: makes externally-degraded
+        // host windows visible next to that round's ratio (the shared
+        // box sometimes loses ~30% to other tenants for minutes)
+        val canary = kernelMicro()
         // alternate which core count runs first (turbo/thermal decay bias)
         val (lo, loCpu, hi, hiCpu) =
           if (r % 2 == 1) {
@@ -208,7 +213,7 @@ object Bench {
             val (l, lc) = allPairsThroughput(lowCores, n, trials)
             (l, lc, h, hc)
           }
-        (lo, hi, hi / (lo * ratio), loCpu, hiCpu)
+        (lo, hi, hi / (lo * ratio), loCpu, hiCpu, canary)
       }
       PairResult(lowCores, highCores, n, measured)
     }
