@@ -259,13 +259,15 @@ object SparkEntry {
       val media = t(s, dir, "documents").select(col("doc_id").as("id"),
         encode(col("text"), "UTF-8").as("media"), lit("text/html").as("mime"))
       // exploded to one scalar row per (id, dim) — the raw array<float>
-      // column is unsortable by the driver's rows-only comparator
+      // column is unsortable by the driver's rows-only comparator. The
+      // value stays raw float32: the stub's byte-histogram arithmetic
+      // (float count × float32 reciprocal) is reproduced bit-exactly by
+      // the DuckDB oracle's FLOAT arithmetic over the UTF-8 bytes.
       ops.Multimodal.extractFeatures(ops.Multimodal.asMedia(media, "id", "media", "mime")).toDF()
         .select(col("id"), col("mime"), col("n_bytes"),
           posexplode(col("features")).as(Seq("dim", "value")))
         .select(col("id"), col("mime"), col("n_bytes"),
-          col("dim").cast("long").as("dim"),
-          round(col("value").cast("double"), 6).as("value"))
+          col("dim").cast("long").as("dim"), col("value"))
     }),
     "smc_pairs" -> ((s, _) => {
       // S6: SMC similarity with both-sides top-k over the linkage corpus
@@ -385,6 +387,26 @@ object SparkEntry {
     "q_embed_norm" ->
       """SELECT vec_id, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
         |   CAST(embedding AS DOUBLE[]))) AS norm FROM embeddings""".stripMargin,
+    // the Multimodal decode STUB is a byte histogram over the UTF-8
+    // bytes (mod 16) normalized in float32; the test corpus is pure
+    // ASCII (verified per sf dir), so ord(char) == byte and DuckDB's
+    // FLOAT arithmetic reproduces the values bit-exactly. This hard-
+    // verifies the multimodal PLUMBING (schema, batching, explode) —
+    // the decode itself remains a stub (no codecs in this sandbox).
+    "multimodal_features" ->
+      """WITH d AS (SELECT doc_id AS id, text,
+        |     octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents),
+        | chars AS (SELECT id, ord(substr(text, CAST(i AS INT), 1)) % 16 AS dim
+        |           FROM d, unnest(range(1, length(text) + 1)) AS t(i)),
+        | cnt AS (SELECT id, dim, count(*) AS c FROM chars GROUP BY 1, 2),
+        | dims AS (SELECT unnest(range(0, 16)) AS dim),
+        | grid AS (SELECT d.id, d.n_bytes, dims.dim FROM d CROSS JOIN dims)
+        | SELECT grid.id, 'text/html' AS mime, CAST(grid.n_bytes AS BIGINT) AS n_bytes,
+        |   CAST(grid.dim AS BIGINT) AS dim,
+        |   CASE WHEN grid.n_bytes = 0 THEN CAST(0.0 AS FLOAT)
+        |        ELSE CAST(coalesce(cnt.c, 0) AS FLOAT)
+        |             * (CAST(1.0 AS FLOAT) / CAST(grid.n_bytes AS FLOAT)) END AS value
+        | FROM grid LEFT JOIN cnt ON grid.id = cnt.id AND grid.dim = cnt.dim""".stripMargin,
     "text_langid" ->
       """WITH b0 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
         | b AS (SELECT doc_id, text,
