@@ -61,4 +61,30 @@ class E2EAccuracySpec extends AnyFunSuite {
     assert(math.abs(samples * proportion - numMatches) <= allowedFalse,
       s"expected ~${samples * proportion} matches, got $numMatches")
   }
+
+  test("env-gated BIG E2E (GRAFT_BIG_E2E=1): 40k pages, fully distributed " +
+    "matching + distributed evaluation (ref's env-gated sizes, test_e2e.py:128-147)") {
+    assume(sys.env.get("GRAFT_BIG_E2E").contains("1"), "set GRAFT_BIG_E2E=1 to run")
+    val samples = 20000
+    val proportion = 0.75
+    val pages = overlapCorpus(samples, proportion, seed = 101L).cache()
+    val params = LinkageParams(blocking = MinhashBlocking(), threshold = 0.8, k = Some(5))
+    val pairs = Linkage.candidatePairs(pages, params, col("dsetId")).cache()
+    // distributed exact greedy; evaluation by JOIN against ground truth
+    // (no driver collect of the corpus — the scale-shaped path)
+    val matched = graft.solve.DistributedGreedy.matching2Party(pairs)
+    val truth = pages.select(col("dsetId"),
+      Linkage.recIdCol(col("url")).as("recId"), col("entityId"))
+    val ev = matched
+      .join(truth.where(col("dsetId") === 0)
+        .select(col("recId").as("rec0"), col("entityId").as("e0")), "rec0")
+      .join(truth.where(col("dsetId") === 1)
+        .select(col("recId").as("rec1"), col("entityId").as("e1")), "rec1")
+    val total = ev.count()
+    val falseM = ev.where(col("e0") =!= col("e1")).count()
+    val allowedFalse = math.ceil(total * 0.02).toLong
+    assert(falseM <= allowedFalse, s"false=$falseM of $total")
+    assert(math.abs(samples * proportion - total) <= allowedFalse,
+      s"expected ~${samples * proportion} matches, got $total")
+  }
 }
