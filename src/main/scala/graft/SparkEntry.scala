@@ -394,8 +394,9 @@ object SparkEntry {
     // verifies the multimodal PLUMBING (schema, batching, explode) —
     // the decode itself remains a stub (no codecs in this sandbox).
     "multimodal_features" ->
-      """WITH d AS (SELECT doc_id AS id, text,
-        |     octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents),
+      """WITH d AS (SELECT doc_id AS id, coalesce(text, '') AS text,
+        |     octet_length(CAST(coalesce(text, '') AS BLOB)) AS n_bytes
+        |     FROM documents),
         | chars AS (SELECT id, ord(substr(text, CAST(i AS INT), 1)) % 16 AS dim
         |           FROM d, unnest(range(1, length(text) + 1)) AS t(i)),
         | cnt AS (SELECT id, dim, count(*) AS c FROM chars GROUP BY 1, 2),

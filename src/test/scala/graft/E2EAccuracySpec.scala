@@ -70,9 +70,11 @@ class E2EAccuracySpec extends AnyFunSuite {
     val pages = overlapCorpus(samples, proportion, seed = 101L).cache()
     val params = LinkageParams(blocking = MinhashBlocking(), threshold = 0.8, k = Some(5))
     val pairs = Linkage.candidatePairs(pages, params, col("dsetId")).cache()
-    // distributed exact greedy; evaluation by JOIN against ground truth
-    // (no driver collect of the corpus — the scale-shaped path)
-    val matched = graft.solve.DistributedGreedy.matching2Party(pairs)
+    // distributed exact greedy with the driver-finish shortcut DISABLED
+    // (threshold 0) so the mutual-best iteration is what's exercised;
+    // evaluation by JOIN against ground truth (no driver collect)
+    val matched = graft.solve.DistributedGreedy.matching2Party(pairs,
+      driverFinishThreshold = 0L)
     val truth = pages.select(col("dsetId"),
       Linkage.recIdCol(col("url")).as("recId"), col("entityId"))
     val ev = matched
