@@ -6,9 +6,12 @@ import graft.core.BitVector
 import graft.gen.RandomClks
 import graft.sim.{ClkRow, DiceKernel}
 
-/** Benchmark main. Prints ONE JSON line (clean on stdout — build.sbt
-  * sets `outputStrategy := StdoutOutput` so sbt does not wrap it in
-  * `[info]` decoration) and also writes it to `bench.json`:
+/** Benchmark main. Prints ONE compact JSON line (clean on stdout —
+  * build.sbt sets `outputStrategy := StdoutOutput` so sbt does not wrap
+  * it in `[info]` decoration; compact because the driver captures a
+  * bounded log TAIL, so the stdout line must stay well under ~2 KB to
+  * arrive unclipped) and writes the detailed rendition (same structure
+  * + per-round arrays + the thread-scaling probe) to `bench.json`:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
   *  "kernel_cmp_per_sec":..., "scaling":{...}}
   *
@@ -156,17 +159,31 @@ object Bench {
     //    same rigor; its ratio is bounded by the host ceiling above,
     //    not by the plan (the plan adds no shuffle and no extra work
     //    per comparison between the two runs).
+    // fail fast on bad env config — a bench that runs for minutes must
+    // not crash at the reporting stage or mid-measurement
     val nBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "150000").toLong
+    require(nBase >= 1, s"SPARK_GRAFT_BENCH_N must be >= 1, got $nBase")
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
+    require(rounds >= 1, s"SPARK_GRAFT_BENCH_ROUNDS must be >= 1, got $rounds")
     // symmetric single trials per round: best-of-k on only one side
     // would bias the ratio; the long runs average interference out and
     // the median across rounds rejects outliers
     val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "1").toInt
+    require(trials >= 1, s"SPARK_GRAFT_BENCH_TRIALS must be >= 1, got $trials")
+    val pairsSpec = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS",
+      s"2:8,${math.max(1, cpus / 4)}:$cpus")
     val pairs: Seq[(Int, Int)] =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", s"2:8,${math.max(1, cpus / 4)}:$cpus")
-        .split(",").toSeq.map { p =>
-          val Array(l, h) = p.split(":"); (l.trim.toInt, h.trim.toInt)
-        }.distinct
+      pairsSpec.split(",").toSeq.map { p =>
+        p.split(":").map(_.trim) match {
+          case Array(l, h) if l.forall(_.isDigit) && h.forall(_.isDigit)
+              && l.nonEmpty && h.nonEmpty && l.toInt >= 1 && h.toInt >= 1 =>
+            (l.toInt, h.toInt)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_BENCH_PAIRS must look like '2:8,8:32', got '$pairsSpec'")
+        }
+      }.distinct
+    require(pairs.nonEmpty,
+      s"SPARK_GRAFT_BENCH_PAIRS parsed to zero pairs: '$pairsSpec'")
 
     case class PairResult(lowCores: Int, highCores: Int, n: Long,
         rounds: Seq[(Double, Double, Double, Double, Double, Double)]) {
@@ -178,16 +195,24 @@ object Bench {
         val es = rounds.map(m => m._4 / m._5).sorted
         es(es.length / 2)
       }
-      def json: String = {
-        val roundsJson = rounds.map { case (lo, hi, e, loCpu, hiCpu, canary) =>
-          f"""{"low":${lo}%.0f,"high":${hi}%.0f,"eff":${e}%.3f,""" +
-            f""""cpu_sec_low":${loCpu}%.1f,"cpu_sec_high":${hiCpu}%.1f,""" +
-            f""""host_canary_mcps":${canary / 1e6}%.1f}"""
-        }.mkString("[", ",", "]")
-        s"""{"cores_low":$lowCores,"cores_high":$highCores,"n":$n,""" +
-          f""""pairs_per_sec_low":${best._1}%.0f,"pairs_per_sec_high":${best._2}%.0f,""" +
-          f""""efficiency":${medianEff}%.3f,"efficiency_max":${best._3}%.3f,""" +
-          f""""cpu_work_efficiency":${cpuEff}%.3f,"rounds":$roundsJson}"""
+      /** Per-pair summary; `detail = true` appends the per-round array
+        * (bench.json only — the stdout headline stays one SHORT line
+        * the driver's log-tail window can capture whole). */
+      def json(detail: Boolean): String = {
+        val summary =
+          s"""{"cores_low":$lowCores,"cores_high":$highCores,"n":$n,""" +
+            f""""pairs_per_sec_low":${best._1}%.0f,"pairs_per_sec_high":${best._2}%.0f,""" +
+            f""""efficiency":${medianEff}%.3f,"efficiency_max":${best._3}%.3f,""" +
+            f""""cpu_work_efficiency":${cpuEff}%.3f"""
+        if (!detail) summary + "}"
+        else {
+          val roundsJson = rounds.map { case (lo, hi, e, loCpu, hiCpu, canary) =>
+            f"""{"low":${lo}%.0f,"high":${hi}%.0f,"eff":${e}%.3f,""" +
+              f""""cpu_sec_low":${loCpu}%.1f,"cpu_sec_high":${hiCpu}%.1f,""" +
+              f""""host_canary_mcps":${canary / 1e6}%.1f}"""
+          }.mkString("[", ",", "]")
+          summary + s""","rounds":$roundsJson}"""
+        }
       }
     }
 
@@ -219,21 +244,36 @@ object Bench {
     }
     val primary = pairResults.head
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // pure-kernel thread-scaling probe (1..cpus threads): self-contained
+    // evidence for the host-CPU-ceiling claim next to the Spark pairs
+    // (bench.json only — see BASELINE.md "platform confound")
+    val probeSeries = graft.tools.ThreadScaling.probe(
+      n = 15000, threadCounts = Seq(1, 2, 4, 8, 16, 32).filter(_ <= cpus), reps = 2)
+    val probeJson = probeSeries.map { case (t, cps) =>
+      f"""{"threads":$t,"cmp_per_sec":${cps}%.0f}""" }.mkString("[", ",", "]")
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    // headline block = the dedicated-core-regime pair; all pairs under "pairs"
-    val scaling = primary.json.dropRight(1) +
-      s""","pairs":${pairResults.map(_.json).mkString("[", ",", "]")}}"""
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir",""" +
+    // one line, two renditions: the stdout headline is COMPACT (per-pair
+    // summaries only — the driver captures a bounded log tail, and a
+    // multi-KB line gets truncated mid-JSON); bench.json carries the
+    // same structure plus per-round arrays and the thread probe.
+    def render(detail: Boolean): String = {
+      val scaling = primary.json(detail = false).dropRight(1) +
+        s""","pairs":${pairResults.map(_.json(detail)).mkString("[", ",", "]")}""" +
+        (if (detail) s""","thread_probe":$probeJson}""" else "}")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,""" +
+        s""""errors":$errors,"sf":"$sfDir",""" +
         f""""kernel_cmp_per_sec":${kernelCps}%.0f,"scaling":$scaling}"""
-    // stdout (clean line) AND a file — belt and braces for the driver
-    println(line)
+    }
+    // stdout (clean SHORT line) AND a detailed file for the driver
+    println(render(detail = false))
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."), "bench.json"), line)
+      java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."), "bench.json"),
+      render(detail = true))
     catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
   }
 }

@@ -290,11 +290,16 @@ object PlanLab {
   * Spark overheads — used to pick the honest N→4N pair for Bench and
   * to document the platform confound in BASELINE.md. */
 object ThreadScaling {
-  def main(args: Array[String]): Unit = {
+
+  /** One probe series: for each thread count T, T JVM threads each run
+    * the packed kernel over an n/T slice of A against all of B;
+    * returns (threads, total cmp/s, best-of-`reps` wall). Shared by the
+    * CLI main and [[graft.Bench]] (which embeds the series in
+    * bench.json so the host-ceiling evidence is self-contained). */
+  def probe(n: Int, threadCounts: Seq[Int], reps: Int = 3): Seq[(Int, Double)] = {
     import graft.core.BitVector
     import graft.gen.RandomClks
     import graft.sim.{ClkRow, DiceKernel}
-    val n = if (args.nonEmpty) args(0).toInt else 20000
     def rows(seed: Long) = (0 until n).map { i =>
       val w = RandomClks.clkFor(i.toLong, 16, seed)
       ClkRow(i.toLong, BitVector.toBytes(w), BitVector.popcount(w))
@@ -311,10 +316,10 @@ object ThreadScaling {
     }
     // warmup
     DiceKernel.blockDiceTopKPacked(a, b, 0.7, None, 0, 1).size
-    for (t <- Seq(1, 2, 4, 8, 16, 32)) {
+    threadCounts.map { t =>
       val sl = slices(t)
       var best = Double.MaxValue
-      for (_ <- 1 to 3) {
+      for (_ <- 1 to reps) {
         val threads = sl.map { s =>
           new Thread(() => { DiceKernel.blockDiceTopKPacked(s, b, 0.7, None, 0, 1).size; () })
         }
@@ -322,7 +327,13 @@ object ThreadScaling {
         threads.foreach(_.start()); threads.foreach(_.join())
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
       }
-      val cps = n.toDouble * n / best
+      (t, n.toDouble * n / best)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 20000
+    probe(n, Seq(1, 2, 4, 8, 16, 32)).foreach { case (t, cps) =>
       println(f"[scal] threads=$t%2d total=${cps / 1e6}%8.1f M cmp/s  per-thread=${cps / t / 1e6}%7.1f M")
     }
   }
