@@ -173,16 +173,17 @@ object SparkEntry {
       // pure Column ops (split/transform/explode), codegen'd end to end.
       // Stop-grams (document frequency > 200) leave the gram sets before
       // sizes are taken — same guard + bound as Dedup.ngramJaccardPairs,
-      // mirrored exactly in the DuckDB oracle.
-      val grams = t(s, dir, "documents")
+      // mirrored exactly in the DuckDB oracle. The cap is a hash-
+      // aggregate census + broadcast anti-join (the stop SET is tiny by
+      // definition), not a window — no sort of the gram index.
+      val grams0 = t(s, dir, "documents")
         .withColumn("w", split(col("text"), " "))
         .where(size(col("w")) >= 3)
         .select(col("doc_id"), explode(array_distinct(expr(
           "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))).as("g"))
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
-        .where(col("df") <= 200)
-        .drop("df")
-        .cache()
+      val stopGrams = grams0.groupBy("g").agg(count(lit(1)).as("df"))
+        .where(col("df") > 200).select("g")
+      val grams = grams0.join(broadcast(stopGrams), Seq("g"), "left_anti").cache()
       val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = grams.as("a").join(grams.as("b"), "g")
         .where(col("a.doc_id") < col("b.doc_id"))
@@ -244,7 +245,15 @@ object SparkEntry {
       ops.Ann.ivfTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
     }),
     "text_langid" -> ((s, dir) =>
-      ops.TextOps.withLangId(t(s, dir, "documents"), "text")
+      // ASCII assertion, same reason as multimodal_features: the oracle
+      // compares Scala UTF-16 length against DuckDB codepoint length —
+      // identical only while the corpus is ASCII (astral/CJK text must
+      // fail loudly here rather than silently skew the score parity)
+      ops.TextOps.withLangId(
+        t(s, dir, "documents").where(assert_true(
+          length(coalesce(col("text"), lit(""))) === octet_length(encode(coalesce(col("text"), lit("")), "UTF-8")),
+          lit("text_langid oracle parity requires a pure-ASCII corpus")).isNull),
+        "text")
         .select("doc_id", "lang_pred", "lang_score")),
     "text_fingerprint" -> ((s, dir) => {
       import s.implicits._
@@ -256,8 +265,16 @@ object SparkEntry {
     "multimodal_features" -> ((s, dir) => {
       // binary media column derived from text bytes (no codecs in this
       // sandbox — decode is stubbed, plumbing is real; see ops.Multimodal)
-      val media = t(s, dir, "documents").select(col("doc_id").as("id"),
-        encode(col("text"), "UTF-8").as("media"), lit("text/html").as("mime"))
+      // ASCII-ness is ASSERTED per row: the DuckDB oracle compares
+      // ord(codepoint) against the Scala side's UTF-8 bytes, which only
+      // agree on ASCII — a future non-ASCII corpus must fail loudly
+      // here, not as a confusing oracle hash mismatch.
+      val media = t(s, dir, "documents")
+        .where(assert_true(
+          length(coalesce(col("text"), lit(""))) === octet_length(encode(coalesce(col("text"), lit("")), "UTF-8")),
+          lit("multimodal_features oracle parity requires a pure-ASCII corpus")).isNull)
+        .select(col("doc_id").as("id"),
+          encode(col("text"), "UTF-8").as("media"), lit("text/html").as("mime"))
       // exploded to one scalar row per (id, dim) — the raw array<float>
       // column is unsortable by the driver's rows-only comparator. The
       // value stays raw float32: the stub's byte-histogram arithmetic

@@ -37,7 +37,10 @@ object Dedup {
 
   /** Exact dedup: one keeper (min id) per identical text. A shuffle on
     * a 64-bit text hash, not the text itself — at 100 TB you group by
-    * the digest and keep the full text only in the payload. */
+    * the digest and keep the full text only in the payload. Digest
+    * equality stands in for text equality (collision odds ~2^-64 per
+    * pair; group on (digest, length) or re-verify within groups if that
+    * is not acceptable for a given corpus). */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(xxhash64(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
@@ -109,11 +112,15 @@ object Dedup {
         val hi = scala.collection.mutable.ArrayBuffer.empty[Long]
         rs.foreach { case (_, _, t, id) => if (t == 0) lo += id else hi += id }
         if (diagonal) {
-          // all unordered pairs within the slice (tags are all 0 here)
+          // all unordered pairs within the slice (tags are all 0 here);
+          // strictly a(i) < a(j) — should duplicate (bucket, id) rows
+          // ever reach this path (a 64-bit band-key collision), the
+          // skip keeps it self-pair-free like the cold path's a.id < b.id
           val a = lo.toArray
           java.util.Arrays.sort(a)
           a.indices.iterator.flatMap(i =>
-            (i + 1 until a.length).iterator.map(j => (a(i), a(j))))
+            (i + 1 until a.length).iterator
+              .filter(j => a(j) != a(i)).map(j => (a(i), a(j))))
         } else {
           // off-diagonal cell: pairs BETWEEN the two slices only (the
           // within-slice pairs belong to each slice's diagonal cell)
@@ -126,11 +133,16 @@ object Dedup {
   }
 
   /** Collapse identical texts to their min-id representative.
-    * Returns (id, rep, text) where `rep == id` marks representatives. */
+    * Returns (id, rep, text) where `rep == id` marks representatives.
+    * Grouping is by (64-bit text digest, text length) — like
+    * [[exact]], hash equality stands in for text equality (an xxhash64
+    * collision would merge two distinct documents unverified; the
+    * length component shrinks that surface to same-length collisions,
+    * ~2^-64 per same-length pair). */
   private def withTextRep(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .withColumn("rep",
-        min("id").over(Window.partitionBy(xxhash64(col("text")))))
+        min("id").over(Window.partitionBy(xxhash64(col("text")), length(col("text")))))
 
   /** Re-attach collapsed members to their representative's component:
     * (id, clusterId, keeper); singleton representatives keep their own
@@ -166,12 +178,11 @@ object Dedup {
     import spark.implicits._
 
     val withRep = withTextRep(docs, idCol, textCol).cache()
-    // one pass per representative: rep → (band keys, sorted gram set)
+    // one pass per representative: rep → (band keys, distinct gram set)
     val sigs = withRep.where($"id" === $"rep").select($"id", $"text")
       .as[(Long, String)]
       .map { case (id, text) =>
         val grams = ClkEncoder.wordNgramHashes(text, ngramN, seed).distinct
-        java.util.Arrays.sort(grams)
         (id, Blocking.minhashBandKeys(grams, params), grams)
       }
       .toDF("id", "bands", "grams")
@@ -181,25 +192,29 @@ object Dedup {
     val banded = sigs.select(explode($"bands").as("bucket"), $"id")
     val pairs = bucketPairs(banded, pairBudget).distinct()
 
-    // verify with exact n-gram Jaccard over the sorted gram arrays
-    val jacc = udf { (a: Seq[Long], b: Seq[Long]) =>
-      if (a.isEmpty && b.isEmpty) 1.0
-      else {
-        var i = 0; var j = 0; var inter = 0L
-        while (i < a.length && j < b.length) {
-          val c = java.lang.Long.compare(a(i), b(j))
-          if (c == 0) { inter += 1; i += 1; j += 1 }
-          else if (c < 0) i += 1
-          else j += 1
-        }
-        val union = a.length.toLong + b.length - inter
-        if (union == 0) 1.0 else inter.toDouble / union
-      }
-    }
-    val g0 = sigs.select($"id".as("id0"), $"grams".as("g0"))
-    val g1 = sigs.select($"id".as("id1"), $"grams".as("g1"))
-    val verified = pairs.join(g0, "id0").join(g1, "id1")
-      .withColumn("jaccard", jacc($"g0", $"g1"))
+    // verify with exact n-gram Jaccard THROUGH the gram inverted index:
+    // intersection sizes come from (pair, gram) scalar rows — never by
+    // attaching whole gram arrays to every candidate pair (that shuffle
+    // is pairs × doc-gram-count × 2 in array payload; this one is
+    // Σ_pairs |grams(id0)| scalar rows, codegen'd hash joins end to end)
+    val gramIdx = sigs.select($"id", explode($"grams").as("gram"))
+    val sizes = sigs.select($"id", size($"grams").cast("long").as("n"))
+    val inter = pairs
+      .join(gramIdx.select($"id".as("id0"), $"gram"), "id0")
+      .join(gramIdx.select($"id".as("id1"), $"gram"), Seq("id1", "gram"))
+      .groupBy($"id0", $"id1").agg(count(lit(1)).as("inter"))
+    val verified = pairs
+      .join(sizes.select($"id".as("id0"), $"n".as("n0")), "id0")
+      .join(sizes.select($"id".as("id1"), $"n".as("n1")), "id1")
+      .join(inter, Seq("id0", "id1"), "left")
+      .withColumn("inter", coalesce($"inter", lit(0L)))
+      // union == 0 ⇔ both gram sets empty ⇔ identical-as-shingled → 1.0
+      // (same convention as the reference-exact merge-intersect kernel
+      // this replaces; zero-intersection pairs survive the left join as
+      // inter = 0 so the threshold filter sees them too)
+      .withColumn("jaccard",
+        when($"n0" + $"n1" - $"inter" === 0, lit(1.0))
+          .otherwise($"inter" / ($"n0" + $"n1" - $"inter")))
       .where($"jaccard" >= jaccardThreshold)
       .select($"id0", $"id1")
 
@@ -271,19 +286,23 @@ object Dedup {
       maxDf: Long = 100000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // df-cap via ONE window over the gram partition (a census aggregate
-    // + semi-join would re-run the n-gram hashing twice); stop-grams
-    // leave the gram sets before sizes are taken. Cached: the filtered
-    // index feeds the sizes aggregate and both sides of the self-join.
-    val grams = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    // df-cap via a hash-aggregate census + broadcast anti-join — no
+    // sort: a `count() over (partition by gram)` window sorts the whole
+    // gram index by gram; the stop-gram SET (df > maxDf) is tiny by
+    // definition (each member is a near-universal boilerplate gram), so
+    // it broadcasts, and the index re-derivation (n-gram hashing runs
+    // twice: census pass + filtered pass) is cheap linear CPU against
+    // the sort it replaces. Cached: the filtered index feeds the sizes
+    // aggregate and both sides of the self-join.
+    val grams0 = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         ClkEncoder.wordNgramHashes(text, ngramN, seed).distinct.map(g => (id, g))
       }
       .toDF("id", "gram")
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
-      .where($"df" <= maxDf)
-      .drop("df")
+    val stopGrams = grams0.groupBy($"gram").agg(count(lit(1)).as("df"))
+      .where($"df" > maxDf).select($"gram")
+    val grams = grams0.join(broadcast(stopGrams), Seq("gram"), "left_anti")
       .cache()
     val sizes = grams.groupBy($"id").agg(count(lit(1)).as("n"))
     val inter = grams.as("a").join(grams.as("b"), "gram")

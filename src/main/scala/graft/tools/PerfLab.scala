@@ -283,6 +283,25 @@ object PlanLab {
   }
 }
 
+/** Time individual SparkEntry queries: `runMain graft.tools.QueryLab
+  * <sfDir> <query...>` — the per-query iteration loop Bench is too
+  * coarse for. */
+object QueryLab {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: QueryLab <sfDir> <query...>")
+    val sfDir = args(0)
+    val spark = PerfLab.session(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    args.drop(1).foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"[qlab] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    spark.stop()
+  }
+}
+
 /** Pure-kernel thread-scaling probe (no Spark): T JVM threads each run
   * the packed Dice kernel over a slice of side A against a shared
   * packed side B. Isolates the MACHINE's parallel-scaling behavior
