@@ -1,0 +1,280 @@
+package graft.io
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, InputStream, OutputStream}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cand.Candidates
+
+/** anonlink's binary candidate-pair wire format — byte-level parity
+  * with `/root/reference/anonlink/serialization.py:17-55` so shards
+  * produced here interoperate with anonlink / anonlink-entity-service.
+  *
+  * Layout (all little-endian):
+  *  - header, 4 bytes (`<BBBB`): format version (always 1), similarity
+  *    float width, dataset-index uint width, record-index uint width;
+  *  - entries (`<{f}2{d}2{r}`): similarity, dset0, dset1, rec0, rec1.
+  *
+  * Widths: floats 4/8 on write and 2/4/8 on read (the reference dumps
+  * from Python arrays, which have no half type — but its reader accepts
+  * `e`, so ours does too); uints 1/2/4/8. Integers are unsigned — 8-byte
+  * record indices round-trip through Long bit patterns and all
+  * comparisons are unsigned, so the full u64 range survives a merge.
+  *
+  * [[merge]] reproduces `merge_streams` (`serialization.py:285-362`):
+  * k-way heap merge in the global `(-sim, dset0, dset1, rec0, rec1)`
+  * order with field widths promoted to the maximum across inputs.
+  *
+  * This is the LITERAL wire path (Z1/Z2/Z3) for federating with
+  * anonlink shards; [[CandidateIO]]'s Parquet exchange remains the
+  * engine-native path (SURVEY §2.6). Spark glue: [[dumpShards]] writes
+  * one sorted shard per partition (the reference's worker-dump step),
+  * [[merge]] recombines, [[loadPairs]] parses shards executor-side via
+  * the `binaryFile` source.
+  */
+object AnonlinkFormat {
+
+  /** Field widths of one wire file. */
+  final case class WireSizes(sim: Int, dset: Int, rec: Int) {
+    require(sim == 4 || sim == 8, s"floats of $sim bytes are not supported for writing")
+    require(Set(1, 2, 4, 8)(dset), s"indices of $dset bytes are not supported")
+    require(Set(1, 2, 4, 8)(rec), s"indices of $rec bytes are not supported")
+    def entryBytes: Int = sim + 2 * dset + 2 * rec
+  }
+
+  /** Engine-native widths: f64 sim, u32 dataset ids, u64 record ids. */
+  val DefaultSizes: WireSizes = WireSizes(8, 4, 8)
+
+  /** One candidate pair; integers carry unsigned bit patterns. */
+  final case class Entry(sim: Double, dset0: Long, dset1: Long, rec0: Long, rec1: Long)
+
+  /** The reference's merge order: decreasing similarity, then the four
+    * indices increasing — UNSIGNED, matching Python's arbitrary-size
+    * ints (`serialization.py:330-331`). */
+  val ordering: Ordering[Entry] = (a: Entry, b: Entry) => {
+    val s = java.lang.Double.compare(b.sim, a.sim)
+    if (s != 0) s
+    else {
+      val d0 = java.lang.Long.compareUnsigned(a.dset0, b.dset0)
+      if (d0 != 0) d0
+      else {
+        val d1 = java.lang.Long.compareUnsigned(a.dset1, b.dset1)
+        if (d1 != 0) d1
+        else {
+          val r0 = java.lang.Long.compareUnsigned(a.rec0, b.rec0)
+          if (r0 != 0) r0 else java.lang.Long.compareUnsigned(a.rec1, b.rec1)
+        }
+      }
+    }
+  }
+
+  // ---- primitive little-endian codecs ----------------------------------
+
+  private def writeUint(out: OutputStream, v: Long, width: Int): Unit = {
+    // value must fit: the reference's struct.pack raises on overflow
+    if (width < 8) {
+      val max = (1L << (8 * width)) - 1
+      require(v >= 0 && v <= max, s"value $v does not fit in $width unsigned bytes")
+    }
+    var i = 0
+    while (i < width) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+
+  private def writeSim(out: OutputStream, sim: Double, width: Int): Unit = width match {
+    case 4 => writeUint(out, java.lang.Float.floatToIntBits(sim.toFloat).toLong & 0xffffffffL, 4)
+    case 8 => writeUint(out, java.lang.Double.doubleToLongBits(sim), 8)
+    case w => throw new IllegalArgumentException(s"floats of $w bytes are not supported")
+  }
+
+  private def readExact(in: InputStream, n: Int): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(buf, off, n - off)
+      if (r < 0) {
+        if (off == 0) return null // clean EOF at an entry boundary
+        throw new EOFException("ran out of input")
+      }
+      off += r
+    }
+    buf
+  }
+
+  private def uintAt(b: Array[Byte], off: Int, width: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < width) { v |= (b(off + i).toLong & 0xff) << (8 * i); i += 1 }
+    v
+  }
+
+  /** IEEE 754 binary16 → double (JDK 17 lacks Float.float16ToFloat). */
+  private def halfToDouble(bits: Int): Double = {
+    val sign = if ((bits & 0x8000) != 0) -1.0 else 1.0
+    val exp = (bits >>> 10) & 0x1f
+    val frac = bits & 0x3ff
+    if (exp == 0) sign * frac * math.pow(2, -24)
+    else if (exp == 0x1f) {
+      if (frac == 0) sign * Double.PositiveInfinity else Double.NaN
+    } else sign * (1.0 + frac / 1024.0) * math.pow(2, exp - 15)
+  }
+
+  private def simAt(b: Array[Byte], width: Int): Double = width match {
+    case 2 => halfToDouble(uintAt(b, 0, 2).toInt)
+    case 4 => java.lang.Float.intBitsToFloat(uintAt(b, 0, 4).toInt).toDouble
+    case 8 => java.lang.Double.longBitsToDouble(uintAt(b, 0, 8))
+    case w => throw new IllegalArgumentException(s"floats of $w bytes are not supported")
+  }
+
+  // ---- stream dump / load ----------------------------------------------
+
+  /** Z1 `dump_candidate_pairs`: header + entries to `out`. The caller
+    * supplies entries already in the global order (the reference dumps
+    * its post-sort struct-of-arrays as-is). */
+  def dump(entries: Iterator[Entry], sizes: WireSizes, out: OutputStream): Unit = {
+    val o = new BufferedOutputStream(out, 1 << 16)
+    o.write(1); o.write(sizes.sim); o.write(sizes.dset); o.write(sizes.rec)
+    entries.foreach { e =>
+      writeSim(o, e.sim, sizes.sim)
+      writeUint(o, e.dset0, sizes.dset); writeUint(o, e.dset1, sizes.dset)
+      writeUint(o, e.rec0, sizes.rec); writeUint(o, e.rec1, sizes.rec)
+    }
+    o.flush()
+  }
+
+  /** Z2 `load_candidate_pairs` core: header + lazy entry iterator.
+    * The iterator raises on a truncated trailing entry, like the
+    * reference's 'ran out of input'. */
+  def load(in: InputStream): (WireSizes, Iterator[Entry]) = {
+    val i = new BufferedInputStream(in, 1 << 16)
+    val header = readExact(i, 4)
+    if (header == null) throw new EOFException("ran out of input")
+    require(header(0) == 1, "unsupported version of serialized file")
+    // WireSizes requires sim 4/8 (write widths); size-2 read is legal
+    val simW = header(1) & 0xff
+    require(simW == 2 || simW == 4 || simW == 8, s"floats of $simW bytes are not supported")
+    val sizes = WireSizes(if (simW == 2) 4 else simW, header(2) & 0xff, header(3) & 0xff)
+    val entryBytes = simW + 2 * sizes.dset + 2 * sizes.rec
+    val it = new Iterator[Entry] {
+      private var nextBuf: Array[Byte] = _
+      private var eof = false
+      private def advance(): Unit =
+        if (!eof && nextBuf == null) {
+          nextBuf = readExact(i, entryBytes)
+          if (nextBuf == null) eof = true
+        }
+      def hasNext: Boolean = { advance(); !eof }
+      def next(): Entry = {
+        advance()
+        if (eof) throw new NoSuchElementException
+        val b = nextBuf; nextBuf = null
+        val d0 = simW
+        Entry(simAt(b, simW),
+          uintAt(b, d0, sizes.dset), uintAt(b, d0 + sizes.dset, sizes.dset),
+          uintAt(b, d0 + 2 * sizes.dset, sizes.rec),
+          uintAt(b, d0 + 2 * sizes.dset + sizes.rec, sizes.rec))
+      }
+    }
+    (sizes, it)
+  }
+
+  /** Z3 `merge_streams`: k-way merge of sorted wire files into one wire
+    * file, widths promoted to the max across inputs so no information
+    * is lost (`serialization.py:285-362`). Streaming — never holds more
+    * than one entry per input in memory. */
+  def merge(ins: Seq[InputStream], out: OutputStream): Unit = {
+    require(ins.nonEmpty, "no files provided")
+    val loaded = ins.map(load)
+    val sizes = WireSizes(
+      loaded.map(_._1.sim).max, loaded.map(_._1.dset).max, loaded.map(_._1.rec).max)
+    // heap keyed by (entry, input index) — the index tiebreak keeps the
+    // merge deterministic when two inputs hold byte-identical entries
+    implicit val ord: Ordering[(Entry, Int)] =
+      Ordering.by[(Entry, Int), Entry](_._1)(ordering).orElseBy(_._2).reverse
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Entry, Int)]
+    val iters = loaded.map(_._2).toArray
+    iters.zipWithIndex.foreach { case (it, ix) => if (it.hasNext) heap.enqueue((it.next(), ix)) }
+    val o = new BufferedOutputStream(out, 1 << 16)
+    o.write(1); o.write(sizes.sim); o.write(sizes.dset); o.write(sizes.rec)
+    while (heap.nonEmpty) {
+      val (e, ix) = heap.dequeue()
+      writeSim(o, e.sim, sizes.sim)
+      writeUint(o, e.dset0, sizes.dset); writeUint(o, e.dset1, sizes.dset)
+      writeUint(o, e.rec0, sizes.rec); writeUint(o, e.rec1, sizes.rec)
+      if (iters(ix).hasNext) heap.enqueue((iters(ix).next(), ix))
+    }
+    o.flush()
+  }
+
+  // ---- Spark glue -------------------------------------------------------
+
+  private def entryRows(df: DataFrame) =
+    df.select(col("sim").cast("double"), col("dset0").cast("long"),
+      col("dset1").cast("long"), col("rec0").cast("long"), col("rec1").cast("long"))
+
+  /** Dump a candidate-pair DataFrame as ONE wire file in the global
+    * order. The wire format is an inherently sequential single stream,
+    * so rows funnel through the driver (`toLocalIterator` — one
+    * partition in memory at a time); for distributed output use
+    * [[dumpShards]] + [[mergePaths]]. */
+  def dumpPairs(pairs: DataFrame, path: String, sizes: WireSizes = DefaultSizes): Unit = {
+    val spark = pairs.sparkSession
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = entryRows(Candidates.sorted(pairs)).toLocalIterator()
+    val out = fs.create(p, true)
+    try dump(
+      new Iterator[Entry] {
+        def hasNext = rows.hasNext
+        def next() = { val r = rows.next(); Entry(r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) }
+      }, sizes, out)
+    finally out.close()
+  }
+
+  /** Distributed dump: one sorted wire shard per partition under `dir`
+    * (the reference's per-worker `dump_candidate_pairs` step;
+    * `concurrency.py` workers dump chunks exactly like this). Recombine
+    * with [[mergePaths]] or anonlink's own `merge_streams`. */
+  def dumpShards(pairs: DataFrame, dir: String, sizes: WireSizes = DefaultSizes): Unit = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      pairs.sparkSession.sparkContext.hadoopConfiguration)
+    entryRows(pairs.sortWithinPartitions(Candidates.globalSortCols: _*))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        if (rows.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val p = new Path(f"$dir/shard-$pid%05d.anonlink")
+          val fs = p.getFileSystem(conf.value)
+          val out = fs.create(p, true)
+          try dump(rows.map(r =>
+            Entry(r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))),
+            sizes, out)
+          finally out.close()
+        }
+      }
+  }
+
+  /** Merge wire files (paths, any Hadoop FS) into one wire file. */
+  def mergePaths(spark: SparkSession, paths: Seq[String], outPath: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ins = paths.map { s => val p = new Path(s); p.getFileSystem(conf).open(p) }
+    val op = new Path(outPath)
+    val out = op.getFileSystem(conf).create(op, true)
+    try merge(ins, out)
+    finally { out.close(); ins.foreach(i => scala.util.Try(i.close())) }
+  }
+
+  /** Z2 as a DataFrame: parse wire files executor-side (one task per
+    * file via the `binaryFile` source) into the engine's candidate
+    * schema. Record/dataset ids arrive as signed Longs carrying the
+    * unsigned bit patterns. */
+  def loadPairs(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(glob)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap { bytes =>
+        val (_, it) = load(new java.io.ByteArrayInputStream(bytes))
+        it.map(e => (e.sim, e.dset0.toInt, e.dset1.toInt, e.rec0, e.rec1))
+      }
+      .toDF(Candidates.columns: _*)
+  }
+}

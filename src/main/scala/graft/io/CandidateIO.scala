@@ -8,12 +8,13 @@ import graft.cand.Candidates
   *
   * The reference defines a little-endian binary shard format plus a
   * k-way heap merge so sorted shards from different workers can be
-  * recombined (`serialization.py:17-41,285-338`). Our exchange format
-  * is Parquet: shards are written sorted-within-partitions under the
-  * global key, and "merge" is `union` + the boundary sort — Spark's
-  * range-partitioned sort IS the distributed k-way merge. The
-  * anonlink-service byte format itself is a wire-protocol detail we do
-  * not replicate (SURVEY §2.6).
+  * recombined (`serialization.py:17-41,285-338`). The ENGINE-NATIVE
+  * exchange format is Parquet: shards are written sorted-within-
+  * partitions under the global key, and "merge" is `union` + the
+  * boundary sort — Spark's range-partitioned sort IS the distributed
+  * k-way merge. For byte-level interop with anonlink /
+  * anonlink-entity-service shards use [[AnonlinkFormat]], the literal
+  * wire-format implementation (golden-byte verified).
   */
 object CandidateIO {
 
