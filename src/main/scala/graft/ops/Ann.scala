@@ -179,6 +179,36 @@ object Ann {
       .clusterCenters.map(_.toArray.map(_.toFloat))
   }
 
+  /** Fit-once-and-persist quantizer: load centroids from `dir` if a
+    * matching (version, nLists, seed) snapshot exists, else fit on the
+    * bounded sample and persist. This is the DEFAULT path for repeated
+    * IVF queries — the fit (with its corpus `count()` + sample + KMeans
+    * passes) runs once per corpus, not once per query batch; at 100 TB
+    * the centroids live next to the corpus like any other index
+    * artifact. The key carries no corpus digest — regenerate (delete
+    * the dir) when the corpus changes. */
+  def fitOrLoadCentroids(
+      corpusUnit: DataFrame,
+      nLists: Int,
+      seed: Long,
+      dir: String,
+      maxFitRows: Long = 50000L): Array[Array[Float]] = {
+    val spark = corpusUnit.sparkSession
+    import spark.implicits._
+    val path = s"$dir/ivf-centroids-v1-k$nLists-s${java.lang.Long.toHexString(seed)}.parquet"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      spark.read.parquet(path).as[(Int, Seq[Float])].collect()
+        .sortBy(_._1).map(_._2.toArray)
+    } else {
+      val cents = fitCentroids(corpusUnit, nLists, seed, maxFitRows)
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid").coalesce(1).write.mode("overwrite").parquet(path)
+      cents
+    }
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -188,12 +218,19 @@ object Ann {
       nLists: Int = 16,
       nProbe: Int = 4,
       seed: Long = 0x1ffL,
-      centroids: Option[Array[Array[Float]]] = None): DataFrame = {
+      centroids: Option[Array[Array[Float]]] = None,
+      /** persisted-quantizer dir — see [[fitOrLoadCentroids]]; ignored
+        * when `centroids` is supplied directly. */
+      centroidsDir: Option[String] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val corpusN = normalized(corpus, idCol, vecCol).cache()
-    // coarse quantizer: precomputed centroids, or a sample fit
-    val cents = centroids.getOrElse(fitCentroids(corpusN, nLists, seed))
+    // coarse quantizer: precomputed centroids > persisted fit > fresh fit
+    val cents = centroids.getOrElse(
+      centroidsDir match {
+        case Some(d) => fitOrLoadCentroids(corpusN, nLists, seed, d)
+        case None => fitCentroids(corpusN, nLists, seed)
+      })
     val cBc = spark.sparkContext.broadcast(cents)
 
     def nearestCells(v: Array[Float], n: Int): Seq[Int] = {

@@ -38,15 +38,19 @@ object ConnectedComponents {
         * Spark rounds — each distributed round costs two self-joins +
         * checkpoints, pure overhead on a small tail. Same concession
         * the reference makes by solving single-threaded post-top-k. */
-      driverFinishThreshold: Long = 100000L): DataFrame = {
+      driverFinishThreshold: Long = 100000L,
+      /** round snapshots go to stable storage when set (executor-loss-
+        * safe — see [[graft.io.Snapshots.RoundCheckpointer]]); None →
+        * localCheckpoint, the local-mode fast path. */
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val ckpt = new graft.io.Snapshots.RoundCheckpointer(checkpointDir)
 
-    var e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    var e = ckpt(edges.select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src") =!= col("dst"))
       .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
 
     if (e.count() <= driverFinishThreshold) {
       val arr = e.as[(Long, Long)].collect()
@@ -99,7 +103,7 @@ object ConnectedComponents {
       // node u, connect all not-larger neighbors (and u) to the min.
       val smallSym = large.select($"dst".as("u"), $"src".as("v")) // v <= u by construction
       val minsS = smallSym.groupBy($"u").agg(min($"v").as("m"))
-      val small = smallSym.join(minsS, "u")
+      val small = ckpt(smallSym.join(minsS, "u")
         .select($"v", $"u", $"m")
         .flatMap { row =>
           val v = row.getLong(0); val u = row.getLong(1); val m = row.getLong(2)
@@ -109,8 +113,7 @@ object ConnectedComponents {
         .toDF("a", "b")
         .select(least($"a", $"b").as("src"), greatest($"a", $"b").as("dst"))
         .where($"src" =!= $"dst")
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
 
       // convergence: edge set unchanged vs the carried previous signature
       val after = sig(small)
@@ -132,7 +135,8 @@ object ConnectedComponents {
     * (dsetId, recId, clusterId). Node ids are packed via a mixing of
     * (dsetId, recId); the caller keeps a vertex table for the reverse
     * mapping. */
-  def clusterPairs(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
+  def clusterPairs(pairs: DataFrame, maxIterations: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val nodeId0 = Encoding.nodeIdCol(col("dset0"), col("rec0"))
@@ -142,7 +146,7 @@ object ConnectedComponents {
       .distinct()
       .withColumn("node", Encoding.nodeIdCol($"dsetId", $"recId"))
     val edges = pairs.select(nodeId0.as("src"), nodeId1.as("dst"))
-    val comps = run(edges, maxIterations)
+    val comps = run(edges, maxIterations, checkpointDir = checkpointDir)
     vertices.join(comps, "node")
       .select($"dsetId", $"recId", $"component".as("clusterId"))
   }

@@ -21,7 +21,8 @@ import graft.cand.Candidates
   * 5-tuple order is total, so "best" is unique). Each round:
   * rank remaining pairs per endpoint, keep rank-1×rank-1 edges, drop
   * all pairs touching matched records, repeat. O(log n) rounds expected;
-  * every round localCheckpoints to truncate lineage.
+  * every round truncates lineage (stable-storage snapshots with a
+  * checkpointDir, localCheckpoint otherwise).
   *
   * This gives bit-exact parity with the driver-side [[Greedy]] oracle
   * on bipartite inputs — stronger than the F1≥0.99 budget the
@@ -43,10 +44,14 @@ object DistributedGreedy {
         * inputs where only one edge is dominant per round. The same
         * small-tail concession the reference makes by running its
         * solver single-threaded on the post-top-k candidate list. */
-      driverFinishThreshold: Long = 100000L): DataFrame = {
+      driverFinishThreshold: Long = 100000L,
+      /** round snapshots to stable storage when set (executor-loss-
+        * safe); None → localCheckpoint, the local-mode fast path. */
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    var remaining = pairs.select(Candidates.columns.map(col): _*).localCheckpoint(true)
+    val ckpt = new graft.io.Snapshots.RoundCheckpointer(checkpointDir)
+    var remaining = ckpt(pairs.select(Candidates.columns.map(col): _*))
     var matched: DataFrame = null
     var iter = 0
     var done = false
@@ -73,25 +78,23 @@ object DistributedGreedy {
       val ranked = remaining
         .withColumn("r0rank", row_number().over(w0))
         .withColumn("r1rank", row_number().over(w1))
-      val roundMatches = ranked
+      val roundMatches = ckpt(ranked
         .where(col("r0rank") === 1 && col("r1rank") === 1)
-        .drop("r0rank", "r1rank")
-        .localCheckpoint(true)
+        .drop("r0rank", "r1rank"))
       matched =
         if (matched == null) roundMatches
-        else matched.unionByName(roundMatches).localCheckpoint(true)
+        else ckpt(matched.unionByName(roundMatches))
       val nRound = roundMatches.count()
       if (nRound == 0) done = true
       else {
         val m0 = roundMatches.select(col("rec0")).distinct()
         val m1 = roundMatches.select(col("rec1")).distinct()
-        remaining = remaining
+        remaining = ckpt(remaining
           .join(m0, Seq("rec0"), "left_anti")
           .join(m1, Seq("rec1"), "left_anti")
           // using-column joins reorder columns — restore the canonical
           // order so later unions/windows see a stable layout
-          .select(Candidates.columns.map(col): _*)
-          .localCheckpoint(true)
+          .select(Candidates.columns.map(col): _*))
         // no isEmpty check: the next iteration's count() (driver-finish
         // gate) detects the empty remainder without an extra job
       }
@@ -102,8 +105,9 @@ object DistributedGreedy {
 
   /** Matching → cluster table (dsetId, recId, clusterId), same shape as
     * [[ConnectedComponents.clusterPairs]]. */
-  def clusters2Party(pairs: DataFrame): DataFrame = {
-    val m = matching2Party(pairs)
+  def clusters2Party(pairs: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val m = matching2Party(pairs, checkpointDir = checkpointDir)
     val cid = ConnectedComponents.Encoding.nodeIdCol(col("dset0"), col("rec0"))
     m.select(col("dset0").as("dsetId"), col("rec0").as("recId"), cid.as("clusterId"))
       .union(m.select(col("dset1"), col("rec1"), cid))

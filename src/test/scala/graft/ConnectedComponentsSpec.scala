@@ -72,6 +72,30 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("reliable checkpointing: stable-storage rounds == localCheckpoint rounds") {
+    // the distributed path with a checkpoint dir must produce the same
+    // components AND leave replayable round snapshots on stable storage
+    // (executor-loss safety: lineage replays from Parquet, not from a
+    // dead executor's block store)
+    val rnd = new scala.util.Random(99)
+    val edges = Seq.fill(300)((rnd.nextLong(80), rnd.nextLong(80)))
+    val dir = java.nio.file.Files.createTempDirectory("ccckpt").toString
+    val withCkpt = ConnectedComponents.run(edges.toDF("src", "dst"),
+      driverFinishThreshold = 0L, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(withCkpt === runCC(edges))
+    // round snapshots exist under the per-run subdir
+    val roundDirs = new java.io.File(dir).listFiles()
+    assert(roundDirs != null && roundDirs.nonEmpty)
+    val rounds = roundDirs.head.listFiles().map(_.getName).toSeq
+    assert(rounds.exists(_.startsWith("r")))
+    // the result DataFrame itself survives a full re-read (its lineage
+    // bottoms out in the snapshot files, not executor memory)
+    val again = ConnectedComponents.run(edges.toDF("src", "dst"),
+      driverFinishThreshold = 0L, checkpointDir = Some(dir))
+    assert(again.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === withCkpt)
+  }
+
   test("clusterPairs maps (dset, rec) nodes back correctly") {
     val pairs = Seq(
       (0.9, 0, 1, 10L, 20L),

@@ -34,6 +34,23 @@ class SolverDistSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed greedy with stable-storage checkpointing is unchanged") {
+    val rnd = new scala.util.Random(5)
+    val pairs = (1 to 400).map { _ =>
+      (math.rint(rnd.nextDouble() * 16) / 16, 0, 1, rnd.nextLong(60), rnd.nextLong(60))
+    }.distinct
+    val df = pairs.toDF("sim", "dset0", "dset1", "rec0", "rec1")
+    val deduped = graft.cand.Candidates.dedup(df)
+    val dir = java.nio.file.Files.createTempDirectory("dgckpt").toString
+    val base = DistributedGreedy.matching2Party(deduped, driverFinishThreshold = 0L)
+      .collect().map(r => (r.getDouble(0), r.getLong(3), r.getLong(4))).toSet
+    val ck = DistributedGreedy.matching2Party(deduped, driverFinishThreshold = 0L,
+      checkpointDir = Some(dir))
+      .collect().map(r => (r.getDouble(0), r.getLong(3), r.getLong(4))).toSet
+    assert(ck === base)
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
+
   test("adversarial staircase preferences: cascaded matching stays exact") {
     // sims descending along a chain a1-b1 > a2-b1 > a2-b2 > a3-b2 ...:
     // only one edge is dominant per round, so the distributed rounds
@@ -131,10 +148,19 @@ class SolverDistSpec extends AnyFunSuite {
     // SQL registration
     BitFunctions.register(spark)
     df.createOrReplaceTempView("clks")
-    val viaSql = spark.sql("SELECT id, popcount_bin(a) AS p, dice_bin(a, b) AS d FROM clks")
-      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    val viaSql = spark.sql(
+      "SELECT id, popcount_bin(a) AS p, dice_bin(a, b) AS d, smc_bin(a, b, 1024) AS s FROM clks")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
     rows.foreach { case (id, ab, bb) =>
       assert(viaSql(id)._1 == BitVector.popcount(BitVector.fromBytes(ab)))
+      assert(viaSql(id)._3 ==
+        BitVector.smc(BitVector.fromBytes(ab), BitVector.fromBytes(bb), 1024))
     }
+    // smc_bin demands a LITERAL width: a column there must fail at plan
+    // time with a clear message, not generate wrong code
+    val err = intercept[Exception] {
+      spark.sql("SELECT smc_bin(a, b, id) FROM clks").collect()
+    }
+    assert(err.getMessage.contains("literal"))
   }
 }
