@@ -19,6 +19,27 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Differential-oracle aux dumps. Several operators' kernels are not
+    * SQL-expressible (custom 64-bit hash chains, typed kernels), but
+    * their PIPELINE TAILS are (windows, joins, CC, histograms, bit
+    * math). When `graft.oracle.aux=1` (set by [[Verify]] only — never
+    * by Bench), the query dumps a deterministic intermediate to this
+    * fixed absolute dir and the oracle SQL recomputes the tail from it
+    * with `read_parquet`, turning a rows-only check into a hash-exact
+    * differential one on REAL pipeline data. The dumped frame is read
+    * BACK and fed downstream, so oracle and engine consume byte-
+    * identical inputs. Without the property the tap is free (identity). */
+  val oracleAuxDir = "/tmp/graft_oracle_aux"
+  private def dumpAux(name: String, df: DataFrame): DataFrame =
+    if (!sys.props.get("graft.oracle.aux").contains("1")) df
+    else {
+      val p = s"$oracleAuxDir/$name"
+      df.coalesce(1).write.mode("overwrite").parquet(p)
+      df.sparkSession.read.parquet(p)
+    }
+  private def auxTap(prefix: String): ops.Dedup.Tap =
+    (stage, df) => dumpAux(s"${prefix}_$stage", df)
+
   /** Deterministic bipartite linkage corpus (fixed across sf dirs: the
     * linkage pipeline's input is synthesized per BASELINE.json, not the
     * TPC-H-ish harness tables). */
@@ -41,20 +62,41 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- linkage-native operators (no SQL equivalent → rows-only) ----
     "linkage_candidates" -> ((s, _) => {
-      Linkage.candidatePairs(corpus(s), linkParams, col("dsetId"))
+      // same stages as Linkage.candidatePairs (no checkpointDir set),
+      // with the pre-finalize stream tapped so the DuckDB oracle can
+      // hard-verify the C3 dedup + C4 _enforce_k tail on real kernel
+      // output (the kernel itself is sbt-verified against the naive
+      // oracle — see PipelineSpec)
+      val enc = Linkage.encode(corpus(s), linkParams, col("dsetId"))
+      val (blocked, anySalted) = Linkage.blockAndSaltWithStats(enc, linkParams)
+      val raw = linkParams.k match {
+        case Some(kk) if anySalted =>
+          graft.cand.Candidates.perBlockTopK(
+            Linkage.scorePairsWithKey(blocked, linkParams), kk).drop("key")
+        case _ => Linkage.scorePairs(blocked, linkParams)
+      }
+      graft.cand.Candidates.finalize(
+        dumpAux("linkage_candidates_raw", raw), linkParams.k)
     }),
     "linkage_clusters" -> ((s, _) => {
+      // pairs tapped so the oracle recomputes the V2 transitive closure
+      // (recursive min-label CC in SQL) from the same edges
       Linkage.clusters(
-        Linkage.candidatePairs(corpus(s), linkParams, col("dsetId")), linkParams)
+        dumpAux("linkage_cluster_pairs",
+          Linkage.candidatePairs(corpus(s), linkParams, col("dsetId"))), linkParams)
     }),
     "clk_popcounts" -> ((s, dir) => {
-      // E1/S4: CLK encode + stored popcount column over the documents table
+      // E1/S4: CLK encode + popcount over the documents table. The CLK
+      // bytes are tapped so DuckDB independently popcounts the SAME
+      // bitmaps (blob→BIT bit_count) — a differential check of the
+      // native popcount_bin Catalyst expression on real CLKs.
       import s.implicits._
       val p = graft.encode.ClkParams()
-      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
-        .map { case (id, text) =>
-          (id, core.BitVector.popcount(graft.encode.ClkEncoder.encode(text, p)))
-        }.toDF("doc_id", "pop")
+      val clks = t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .map { case (id, text) => (id, graft.encode.ClkEncoder.encodeBytes(text, p)) }
+        .toDF("doc_id", "clk")
+      dumpAux("clk_popcounts_clks", clks)
+        .select($"doc_id", functions.BitFunctions.popcount_bin($"clk").as("pop"))
     }),
     "minhash_bands" -> ((s, dir) => {
       // B1-analogue: minhash band keys per document (UDTF-style explode)
@@ -77,7 +119,10 @@ object SparkEntry {
         .toDF("doc_id", "clk")
       val a = docs.select($"doc_id".as("id0"), $"clk".as("clk0"))
       val b = docs.select(($"doc_id" - 1).as("id0"), $"doc_id".as("id1"), $"clk".as("clk1"))
-      a.join(b, "id0")
+      // tapped so DuckDB recomputes the Dice from the same CLK bytes
+      // (bit_count over blob→BIT AND) — differential check of dice_bin
+      dumpAux("dice_pairs_clks",
+        a.join(b, "id0").select($"id0", $"id1", $"clk0", $"clk1"))
         .select($"id0", $"id1",
           functions.BitFunctions.dice_bin($"clk0", $"clk1").as("dice"))
     }),
@@ -222,23 +267,29 @@ object SparkEntry {
 
     // ---- training-data ops over documents/embeddings (rows-only) ----
     "dedup_minhash" -> ((s, dir) =>
+      // withrep + verified-edge taps: the oracle recomputes the CC +
+      // member-re-expansion + keeper tail from the same edges
       ops.Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
-        jaccardThreshold = 0.3)),
+        jaccardThreshold = 0.3, tap = auxTap("dedup_minhash"))),
     "dedup_simhash" -> ((s, dir) =>
-      ops.Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")),
+      ops.Dedup.simhash(t(s, dir, "documents"), "doc_id", "text",
+        tap = auxTap("dedup_simhash"))),
     "embed_neardup" -> ((s, dir) =>
       // the driver's embeddings table has no true near-identical pairs
       // (max pairwise cosine ≈ 0.48) — 0.3 exercises the operator on
       // the top of its similarity distribution
       ops.Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
-        cosineThreshold = 0.3, planes = 2)),
+        cosineThreshold = 0.3, planes = 2, tap = auxTap("embed_neardup"))),
     "ann_brute_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       ops.Ann.bruteForceTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
     }),
     "ann_lsh_topk" -> ((s, dir) => {
+      // candidate (query, id, vectors) tap: the oracle recomputes the
+      // exact-cosine + rank-window tail from the same candidates
       val emb = t(s, dir, "embeddings")
-      ops.Ann.lshTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      ops.Ann.lshTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, tap = auxTap("ann_lsh"))
     }),
     "ann_ivf_topk" -> ((s, dir) => {
       // quantizer persisted per sf dir (fit once, reused across calls —
@@ -247,7 +298,7 @@ object SparkEntry {
       val cdir = s"${sys.props("java.io.tmpdir")}/graft_ivf/" +
         java.lang.Long.toHexString(core.Hashing.str(dir, 0x1eefL))
       ops.Ann.ivfTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, centroidsDir = Some(cdir))
+        k = 5, centroidsDir = Some(cdir), tap = auxTap("ann_ivf"))
     }),
     "text_langid" -> ((s, dir) =>
       // ASCII assertion, same reason as multimodal_features: the oracle
@@ -299,11 +350,15 @@ object SparkEntry {
       // via two shared bands must not double-count in the both-sides
       // windows (the reference scores each pair once — no blocking there)
       ops.Smc.bothSidesTopK(
-        graft.cand.Candidates.dedup(ops.Smc.scorePairs(blocked, 0.75, 1024)), 5)
+        dumpAux("smc_pairs_scored",
+          graft.cand.Candidates.dedup(ops.Smc.scorePairs(blocked, 0.75, 1024))), 5)
     }),
     "linkage_hist" -> ((s, _) => {
-      // T1 similarity histogram over the pipeline's candidate pairs
-      val pairs = Linkage.candidatePairs(corpus(s), linkParams, col("dsetId"))
+      // T1 similarity histogram over the pipeline's candidate pairs;
+      // pairs tapped so the oracle rebins the same sims (np.histogram
+      // semantics: last bin closed, dense bins)
+      val pairs = dumpAux("linkage_hist_pairs",
+        Linkage.candidatePairs(corpus(s), linkParams, col("dsetId")))
       ops.Stats.similaritiesHist(pairs, bins = 20, lo = 0.75, hi = 1.0)
     })
   )
@@ -312,6 +367,112 @@ object SparkEntry {
     * the same parquet tables. Omitted for the linkage-native kernels
     * (custom hashing/bit math) → driver records a rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    // ---- differential oracles over aux dumps (see dumpAux scaladoc):
+    // the kernel-side hashing is Scala-native, but each pipeline TAIL
+    // (bit math, windows, CC, histogram, joins) is recomputed by DuckDB
+    // from the dumped deterministic intermediates and compared
+    // hash-exactly ----
+    "clk_popcounts" ->
+      """SELECT doc_id, CAST(bit_count(clk::BIT) AS INT) AS pop
+        | FROM read_parquet('/tmp/graft_oracle_aux/clk_popcounts_clks/*.parquet')""".stripMargin,
+    "dice_pairs_scalar" ->
+      """WITH p AS (SELECT * FROM read_parquet('/tmp/graft_oracle_aux/dice_pairs_clks/*.parquet')),
+        | c AS (SELECT id0, id1, bit_count(clk0::BIT) AS p0, bit_count(clk1::BIT) AS p1,
+        |         bit_count(clk0::BIT & clk1::BIT) AS i FROM p)
+        | SELECT id0, id1,
+        |   CASE WHEN p0 + p1 = 0 THEN CAST(0.0 AS DOUBLE)
+        |        ELSE CAST(2.0 AS DOUBLE) * i / (p0 + p1) END AS dice
+        | FROM c""".stripMargin,
+    "smc_pairs" ->
+      """WITH p AS (SELECT * FROM read_parquet('/tmp/graft_oracle_aux/smc_pairs_scored/*.parquet')),
+        | r AS (SELECT *,
+        |   row_number() OVER (PARTITION BY dset0, dset1, rec0 ORDER BY sim DESC, rec0, rec1) AS rl,
+        |   row_number() OVER (PARTITION BY dset0, dset1, rec1 ORDER BY sim DESC, rec0, rec1) AS rr
+        |   FROM p)
+        | SELECT sim, dset0, dset1, rec0, rec1 FROM r WHERE rl <= 5 AND rr <= 5""".stripMargin,
+    "linkage_candidates" ->
+      """WITH raw AS (SELECT * FROM read_parquet('/tmp/graft_oracle_aux/linkage_candidates_raw/*.parquet')),
+        | d AS (SELECT DISTINCT sim, dset0, dset1, rec0, rec1 FROM raw),
+        | r AS (SELECT *,
+        |   row_number() OVER (PARTITION BY dset0, dset1, rec1
+        |     ORDER BY sim DESC, dset0, dset1, rec0, rec1) AS rr,
+        |   row_number() OVER (PARTITION BY dset1, dset0, rec0
+        |     ORDER BY sim DESC, dset0, dset1, rec0, rec1) AS rl
+        |   FROM d)
+        | SELECT sim, dset0, dset1, rec0, rec1 FROM r WHERE rr <= 5 AND rl <= 5""".stripMargin,
+    "linkage_clusters" ->
+      """WITH RECURSIVE
+        | p AS (SELECT DISTINCT dset0, dset1, rec0, rec1
+        |       FROM read_parquet('/tmp/graft_oracle_aux/linkage_cluster_pairs/*.parquet')),
+        | e AS (SELECT xor((CAST(dset0 AS BIGINT) + 1) << 56, rec0) AS a,
+        |              xor((CAST(dset1 AS BIGINT) + 1) << 56, rec1) AS b,
+        |              dset0, dset1, rec0, rec1 FROM p),
+        | verts AS (SELECT DISTINCT dset0 AS d, rec0 AS rec, a AS node FROM e
+        |           UNION SELECT DISTINCT dset1, rec1, b FROM e),
+        | sym AS (SELECT a, b FROM e WHERE a <> b UNION SELECT b, a FROM e WHERE a <> b),
+        | nodes AS (SELECT DISTINCT a AS n FROM sym),
+        | rch AS (SELECT n, n AS comp FROM nodes
+        |         UNION SELECT s.b, rch.comp FROM rch JOIN sym s ON s.a = rch.n AND rch.comp < s.b),
+        | comp AS (SELECT n, min(comp) AS comp FROM rch GROUP BY n)
+        | SELECT v.d AS "dsetId", v.rec AS "recId", c.comp AS "clusterId"
+        | FROM verts v JOIN comp c ON v.node = c.n""".stripMargin,
+    "linkage_hist" ->
+      """WITH p AS (SELECT sim FROM read_parquet('/tmp/graft_oracle_aux/linkage_hist_pairs/*.parquet')
+        |           WHERE sim >= CAST(0.75 AS DOUBLE) AND sim <= CAST(1.0 AS DOUBLE)),
+        | c AS (SELECT LEAST(CAST(floor((sim - CAST(0.75 AS DOUBLE))
+        |         / ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) / 20)) AS BIGINT), 19) AS bucket,
+        |       count(*) AS n FROM p GROUP BY 1),
+        | bins AS (SELECT unnest(range(0, 20)) AS bucket)
+        | SELECT bins.bucket, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        | FROM bins LEFT JOIN c ON bins.bucket = c.bucket""".stripMargin,
+    "dedup_minhash" ->
+      """WITH RECURSIVE
+        | w AS (SELECT id, rep FROM read_parquet('/tmp/graft_oracle_aux/dedup_minhash_withrep/*.parquet')),
+        | e AS (SELECT id0 AS a, id1 AS b
+        |       FROM read_parquet('/tmp/graft_oracle_aux/dedup_minhash_verified/*.parquet')
+        |       WHERE id0 <> id1),
+        | sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        | nodes AS (SELECT DISTINCT a AS n FROM sym),
+        | rch AS (SELECT n, n AS comp FROM nodes
+        |         UNION SELECT s.b, rch.comp FROM rch JOIN sym s ON s.a = rch.n AND rch.comp < s.b),
+        | comp AS (SELECT n, min(comp) AS comp FROM rch GROUP BY n),
+        | cl AS (SELECT w.id, coalesce(c.comp, w.rep) AS cid FROM w LEFT JOIN comp c ON w.rep = c.n)
+        | SELECT id, cid AS "clusterId", min(id) OVER (PARTITION BY cid) AS keeper FROM cl""".stripMargin,
+    "dedup_simhash" ->
+      """WITH RECURSIVE
+        | w AS (SELECT id, rep FROM read_parquet('/tmp/graft_oracle_aux/dedup_simhash_withrep/*.parquet')),
+        | e AS (SELECT id0 AS a, id1 AS b
+        |       FROM read_parquet('/tmp/graft_oracle_aux/dedup_simhash_verified/*.parquet')
+        |       WHERE id0 <> id1),
+        | sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        | nodes AS (SELECT DISTINCT a AS n FROM sym),
+        | rch AS (SELECT n, n AS comp FROM nodes
+        |         UNION SELECT s.b, rch.comp FROM rch JOIN sym s ON s.a = rch.n AND rch.comp < s.b),
+        | comp AS (SELECT n, min(comp) AS comp FROM rch GROUP BY n),
+        | cl AS (SELECT w.id, coalesce(c.comp, w.rep) AS cid FROM w LEFT JOIN comp c ON w.rep = c.n)
+        | SELECT id, cid AS "clusterId", min(id) OVER (PARTITION BY cid) AS keeper FROM cl""".stripMargin,
+    "embed_neardup" ->
+      """WITH v AS (SELECT id, unit FROM read_parquet('/tmp/graft_oracle_aux/embed_neardup_units/*.parquet')),
+        | c AS (SELECT id0, id1 FROM read_parquet('/tmp/graft_oracle_aux/embed_neardup_cands/*.parquet')),
+        | s AS (SELECT c.id0, c.id1,
+        |         list_dot_product(CAST(v0.unit AS DOUBLE[]), CAST(v1.unit AS DOUBLE[])) AS cosine
+        |       FROM c JOIN v v0 ON c.id0 = v0.id JOIN v v1 ON c.id1 = v1.id)
+        | SELECT id0, id1, cosine FROM s WHERE cosine >= CAST(0.3 AS DOUBLE)""".stripMargin,
+    "ann_lsh_topk" ->
+      """WITH c AS (SELECT query_id, id,
+        |     list_dot_product(CAST(qunit AS DOUBLE[]), CAST(unit AS DOUBLE[])) AS cosine
+        |   FROM read_parquet('/tmp/graft_oracle_aux/ann_lsh_cands/*.parquet')),
+        | r AS (SELECT query_id, id, cosine,
+        |     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank FROM c)
+        | SELECT query_id, id, cosine, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""".stripMargin,
+    "ann_ivf_topk" ->
+      """WITH c AS (SELECT query_id, id,
+        |     list_dot_product(CAST(qunit AS DOUBLE[]), CAST(unit AS DOUBLE[])) AS cosine
+        |   FROM read_parquet('/tmp/graft_oracle_aux/ann_ivf_cands/*.parquet')),
+        | r AS (SELECT query_id, id, cosine,
+        |     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank FROM c)
+        | SELECT query_id, id, cosine, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""".stripMargin,
+
     "q_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders

@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // enable the differential-oracle aux dumps (SparkEntry.dumpAux):
+    // queries write deterministic intermediates the oracle SQL re-reads
+    sys.props("graft.oracle.aux") = "1"
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

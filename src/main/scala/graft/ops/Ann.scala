@@ -221,7 +221,8 @@ object Ann {
       centroids: Option[Array[Array[Float]]] = None,
       /** persisted-quantizer dir — see [[fitOrLoadCentroids]]; ignored
         * when `centroids` is supplied directly. */
-      centroidsDir: Option[String] = None): DataFrame = {
+      centroidsDir: Option[String] = None,
+      tap: Dedup.Tap = Dedup.noTap): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val corpusN = normalized(corpus, idCol, vecCol).cache()
@@ -251,7 +252,8 @@ object Ann {
     val qAssigned = normalized(queries, idCol, vecCol).as[(Long, Seq[Float])]
       .flatMap { case (id, v) => nearestCells(v.toArray, nProbe).map(c => (id, v, c)) }
       .toDF("query_id", "qunit", "cell")
-    val scored = qAssigned.join(assigned, "cell")
+    val scored = tap("cands",
+      qAssigned.join(assigned, "cell").select($"query_id", $"id", $"qunit", $"unit"))
       .withColumn("cosine", dotUdf(col("qunit"), col("unit")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("cosine"), asc("id"))
@@ -272,7 +274,8 @@ object Ann {
       k: Int,
       planes: Int = 6,
       tables: Int = 4,
-      seed: Long = 0xa55eedL): DataFrame = {
+      seed: Long = 0xa55eedL,
+      tap: Dedup.Tap = Dedup.noTap): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     def keysOf(v: Array[Float]): Seq[(Int, Long)] =
@@ -283,9 +286,10 @@ object Ann {
     val qKeyed = normalized(queries, idCol, vecCol).as[(Long, Seq[Float])]
       .flatMap { case (id, v) => keysOf(v.toArray).map { case (t, b) => (id, v, t, b) } }
       .toDF("query_id", "qunit", "table", "bucket")
-    val scored = qKeyed.join(keyed, Seq("table", "bucket"))
-      .select(col("query_id"), col("id"), col("qunit"), col("unit"))
-      .dropDuplicates("query_id", "id") // same pair can collide in many tables
+    val scored = tap("cands",
+      qKeyed.join(keyed, Seq("table", "bucket"))
+        .select(col("query_id"), col("id"), col("qunit"), col("unit"))
+        .dropDuplicates("query_id", "id")) // same pair can collide in many tables
       .withColumn("cosine", dotUdf(col("qunit"), col("unit")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("cosine"), asc("id"))

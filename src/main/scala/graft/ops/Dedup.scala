@@ -35,6 +35,15 @@ import graft.solve.ConnectedComponents
   */
 object Dedup {
 
+  /** Instrumentation hook type for the near-dup pipelines: called with
+    * a stage name and the stage's DataFrame; whatever it returns feeds
+    * the next stage. Identity by default — [[graft.SparkEntry]] uses it
+    * to dump deterministic intermediates for differential DuckDB
+    * oracles (the SQL-expressible tail of each pipeline is then
+    * hash-verified on REAL pipeline data instead of rows-only). */
+  type Tap = (String, DataFrame) => DataFrame
+  val noTap: Tap = (_, df) => df
+
   /** Exact dedup: one keeper (min id) per identical text. A shuffle on
     * a 64-bit text hash, not the text itself — at 100 TB you group by
     * the digest and keep the full text only in the payload. Digest
@@ -173,11 +182,12 @@ object Dedup {
       ngramN: Int = 3,
       jaccardThreshold: Double = 0.5,
       seed: Long = 0xded0bL,
-      pairBudget: Long = 4L * 1000 * 1000): DataFrame = {
+      pairBudget: Long = 4L * 1000 * 1000,
+      tap: Tap = noTap): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val withRep = withTextRep(docs, idCol, textCol).cache()
+    val withRep = tap("withrep", withTextRep(docs, idCol, textCol)).cache()
     // one pass per representative: rep → (band keys, distinct gram set)
     val sigs = withRep.where($"id" === $"rep").select($"id", $"text")
       .as[(Long, String)]
@@ -219,7 +229,7 @@ object Dedup {
       .select($"id0", $"id1")
 
     expandReps(withRep, ConnectedComponents.run(
-      verified.select($"id0".as("src"), $"id1".as("dst"))))
+      tap("verified", verified).select($"id0".as("src"), $"id1".as("dst"))))
   }
 
   /** SimHash near-dup: exact pre-collapse → 64-bit simhash, banded
@@ -232,12 +242,13 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       seed: Long = 0x51a54L,
-      pairBudget: Long = 4L * 1000 * 1000): DataFrame = {
+      pairBudget: Long = 4L * 1000 * 1000,
+      tap: Tap = noTap): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
 
-    val withRep = withTextRep(docs, idCol, textCol).cache()
+    val withRep = tap("withrep", withTextRep(docs, idCol, textCol)).cache()
     val sigs = withRep.where($"id" === $"rep").select($"id", $"text")
       .as[(Long, String)]
       .map { case (id, text) => (id, TextOps.simhash(text, seed)) }
@@ -260,7 +271,7 @@ object Dedup {
       .select($"id0", $"id1")
 
     expandReps(withRep, ConnectedComponents.run(
-      verified.select($"id0".as("src"), $"id1".as("dst"))))
+      tap("verified", verified).select($"id0".as("src"), $"id1".as("dst"))))
   }
 
   /** Direct exact n-gram Jaccard pairs via gram-inverted-index
@@ -330,7 +341,8 @@ object Dedup {
       cosineThreshold: Double = 0.95,
       planes: Int = 8,
       seed: Long = 0xe3bedL,
-      pairBudget: Long = 4L * 1000 * 1000): DataFrame = {
+      pairBudget: Long = 4L * 1000 * 1000,
+      tap: Tap = noTap): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val vecs = embeddings.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
@@ -346,11 +358,14 @@ object Dedup {
       }
       .toDF("id", "unit", "bucket")
       .cache()
+    // tap("units") is pass-through by default; with a dump tap the
+    // verification reads the SAME unit vectors the oracle sees
+    val units = tap("units", vecs.select($"id", $"unit"))
     // no .distinct(): each id has exactly ONE bucket, and the triangle
     // tiling puts each unordered pair in exactly one cell
-    val cand = bucketPairs(vecs.select($"bucket", $"id"), pairBudget)
-    val u0 = vecs.select($"id".as("id0"), $"unit".as("u0"))
-    val u1 = vecs.select($"id".as("id1"), $"unit".as("u1"))
+    val cand = tap("cands", bucketPairs(vecs.select($"bucket", $"id"), pairBudget))
+    val u0 = units.select($"id".as("id0"), $"unit".as("u0"))
+    val u1 = units.select($"id".as("id1"), $"unit".as("u1"))
     cand.join(u0, "id0").join(u1, "id1")
       .withColumn("cosine", Ann.dotUdf($"u0", $"u1"))
       .where($"cosine" >= cosineThreshold)
