@@ -175,8 +175,10 @@ object Bench {
     val pairs: Seq[(Int, Int)] =
       pairsSpec.split(",").toSeq.map { p =>
         p.split(":").map(_.trim) match {
-          case Array(l, h) if l.forall(_.isDigit) && h.forall(_.isDigit)
-              && l.nonEmpty && h.nonEmpty && l.toInt >= 1 && h.toInt >= 1 =>
+          case Array(l, h) if l.nonEmpty && h.nonEmpty
+              && l.length <= 4 && h.length <= 4 // core counts, not Ints that overflow
+              && l.forall(_.isDigit) && h.forall(_.isDigit)
+              && l.toInt >= 1 && h.toInt >= 1 =>
             (l.toInt, h.toInt)
           case _ => throw new IllegalArgumentException(
             s"SPARK_GRAFT_BENCH_PAIRS must look like '2:8,8:32', got '$pairsSpec'")

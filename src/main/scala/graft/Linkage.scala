@@ -302,7 +302,11 @@ object Linkage {
     * (sim, dset0, dset1, rec0, rec1), unsorted (sort is a
     * presentation property — use Candidates.sorted at boundaries). */
   def candidatePairs(pages: DataFrame, params: LinkageParams,
-      dsetIdExpr: org.apache.spark.sql.Column): DataFrame = {
+      dsetIdExpr: org.apache.spark.sql.Column,
+      /** instrumentation hook (identity by default): receives the
+        * pre-finalize scored stream as ("raw", df) — used by the
+        * driver contract's differential oracle (SparkEntry.dumpAux). */
+      tap: graft.ops.Dedup.Tap = graft.ops.Dedup.noTap): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
     // content keys: changed params (or dataset-assignment expression)
@@ -324,21 +328,21 @@ object Linkage {
         }
         .as[EncodedRecord]
       val (blocked, anySalted) = blockAndSaltWithStats(encoded, params)
-      params.k match {
+      val raw = params.k match {
         case Some(kk) if anySalted =>
           // keep the block key through scoring so per-block top-k can
           // be restored after salting (exact salting invariance —
           // without this, a salted cell's rank-(k+1) pair could leak
           // into the global `_enforce_k` stream)
-          val scored = Candidates.perBlockTopK(scorePairsWithKey(blocked, params), kk)
-          Candidates.finalize(scored.drop("key"), params.k)
+          Candidates.perBlockTopK(scorePairsWithKey(blocked, params), kk).drop("key")
         case _ =>
           // nothing salted (every cell is a whole block — the kernel's
           // per-cell top-k already IS per-block) or no k at all (cells
           // partition the comparison rectangle): skip the restoration
           // window, the stream is already exact
-          Candidates.finalize(scorePairs(blocked, params), params.k)
+          scorePairs(blocked, params)
       }
+      Candidates.finalize(tap("raw", raw), params.k)
     }
   }
 

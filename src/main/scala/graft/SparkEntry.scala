@@ -62,21 +62,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- linkage-native operators (no SQL equivalent → rows-only) ----
     "linkage_candidates" -> ((s, _) => {
-      // same stages as Linkage.candidatePairs (no checkpointDir set),
-      // with the pre-finalize stream tapped so the DuckDB oracle can
-      // hard-verify the C3 dedup + C4 _enforce_k tail on real kernel
-      // output (the kernel itself is sbt-verified against the naive
-      // oracle — see PipelineSpec)
-      val enc = Linkage.encode(corpus(s), linkParams, col("dsetId"))
-      val (blocked, anySalted) = Linkage.blockAndSaltWithStats(enc, linkParams)
-      val raw = linkParams.k match {
-        case Some(kk) if anySalted =>
-          graft.cand.Candidates.perBlockTopK(
-            Linkage.scorePairsWithKey(blocked, linkParams), kk).drop("key")
-        case _ => Linkage.scorePairs(blocked, linkParams)
-      }
-      graft.cand.Candidates.finalize(
-        dumpAux("linkage_candidates_raw", raw), linkParams.k)
+      // the REAL pipeline with its pre-finalize stream tapped, so the
+      // DuckDB oracle hard-verifies the C3 dedup + C4 _enforce_k tail
+      // on real kernel output (the kernel itself is sbt-verified
+      // against the naive oracle — see PipelineSpec)
+      Linkage.candidatePairs(corpus(s), linkParams, col("dsetId"),
+        tap = auxTap("linkage_candidates"))
     }),
     "linkage_clusters" -> ((s, _) => {
       // pairs tapped so the oracle recomputes the V2 transitive closure
@@ -373,10 +364,10 @@ object SparkEntry {
     // from the dumped deterministic intermediates and compared
     // hash-exactly ----
     "clk_popcounts" ->
-      """SELECT doc_id, CAST(bit_count(clk::BIT) AS INT) AS pop
-        | FROM read_parquet('/tmp/graft_oracle_aux/clk_popcounts_clks/*.parquet')""".stripMargin,
+      s"""SELECT doc_id, CAST(bit_count(clk::BIT) AS INT) AS pop
+        | FROM read_parquet('$oracleAuxDir/clk_popcounts_clks/*.parquet')""".stripMargin,
     "dice_pairs_scalar" ->
-      """WITH p AS (SELECT * FROM read_parquet('/tmp/graft_oracle_aux/dice_pairs_clks/*.parquet')),
+      s"""WITH p AS (SELECT * FROM read_parquet('$oracleAuxDir/dice_pairs_clks/*.parquet')),
         | c AS (SELECT id0, id1, bit_count(clk0::BIT) AS p0, bit_count(clk1::BIT) AS p1,
         |         bit_count(clk0::BIT & clk1::BIT) AS i FROM p)
         | SELECT id0, id1,
@@ -384,14 +375,14 @@ object SparkEntry {
         |        ELSE CAST(2.0 AS DOUBLE) * i / (p0 + p1) END AS dice
         | FROM c""".stripMargin,
     "smc_pairs" ->
-      """WITH p AS (SELECT * FROM read_parquet('/tmp/graft_oracle_aux/smc_pairs_scored/*.parquet')),
+      s"""WITH p AS (SELECT * FROM read_parquet('$oracleAuxDir/smc_pairs_scored/*.parquet')),
         | r AS (SELECT *,
         |   row_number() OVER (PARTITION BY dset0, dset1, rec0 ORDER BY sim DESC, rec0, rec1) AS rl,
         |   row_number() OVER (PARTITION BY dset0, dset1, rec1 ORDER BY sim DESC, rec0, rec1) AS rr
         |   FROM p)
         | SELECT sim, dset0, dset1, rec0, rec1 FROM r WHERE rl <= 5 AND rr <= 5""".stripMargin,
     "linkage_candidates" ->
-      """WITH raw AS (SELECT * FROM read_parquet('/tmp/graft_oracle_aux/linkage_candidates_raw/*.parquet')),
+      s"""WITH raw AS (SELECT * FROM read_parquet('$oracleAuxDir/linkage_candidates_raw/*.parquet')),
         | d AS (SELECT DISTINCT sim, dset0, dset1, rec0, rec1 FROM raw),
         | r AS (SELECT *,
         |   row_number() OVER (PARTITION BY dset0, dset1, rec1
@@ -401,9 +392,9 @@ object SparkEntry {
         |   FROM d)
         | SELECT sim, dset0, dset1, rec0, rec1 FROM r WHERE rr <= 5 AND rl <= 5""".stripMargin,
     "linkage_clusters" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
         | p AS (SELECT DISTINCT dset0, dset1, rec0, rec1
-        |       FROM read_parquet('/tmp/graft_oracle_aux/linkage_cluster_pairs/*.parquet')),
+        |       FROM read_parquet('$oracleAuxDir/linkage_cluster_pairs/*.parquet')),
         | e AS (SELECT xor((CAST(dset0 AS BIGINT) + 1) << 56, rec0) AS a,
         |              xor((CAST(dset1 AS BIGINT) + 1) << 56, rec1) AS b,
         |              dset0, dset1, rec0, rec1 FROM p),
@@ -417,7 +408,7 @@ object SparkEntry {
         | SELECT v.d AS "dsetId", v.rec AS "recId", c.comp AS "clusterId"
         | FROM verts v JOIN comp c ON v.node = c.n""".stripMargin,
     "linkage_hist" ->
-      """WITH p AS (SELECT sim FROM read_parquet('/tmp/graft_oracle_aux/linkage_hist_pairs/*.parquet')
+      s"""WITH p AS (SELECT sim FROM read_parquet('$oracleAuxDir/linkage_hist_pairs/*.parquet')
         |           WHERE sim >= CAST(0.75 AS DOUBLE) AND sim <= CAST(1.0 AS DOUBLE)),
         | c AS (SELECT LEAST(CAST(floor((sim - CAST(0.75 AS DOUBLE))
         |         / ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) / 20)) AS BIGINT), 19) AS bucket,
@@ -426,10 +417,10 @@ object SparkEntry {
         | SELECT bins.bucket, CAST(coalesce(c.n, 0) AS BIGINT) AS n
         | FROM bins LEFT JOIN c ON bins.bucket = c.bucket""".stripMargin,
     "dedup_minhash" ->
-      """WITH RECURSIVE
-        | w AS (SELECT id, rep FROM read_parquet('/tmp/graft_oracle_aux/dedup_minhash_withrep/*.parquet')),
+      s"""WITH RECURSIVE
+        | w AS (SELECT id, rep FROM read_parquet('$oracleAuxDir/dedup_minhash_withrep/*.parquet')),
         | e AS (SELECT id0 AS a, id1 AS b
-        |       FROM read_parquet('/tmp/graft_oracle_aux/dedup_minhash_verified/*.parquet')
+        |       FROM read_parquet('$oracleAuxDir/dedup_minhash_verified/*.parquet')
         |       WHERE id0 <> id1),
         | sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
         | nodes AS (SELECT DISTINCT a AS n FROM sym),
@@ -439,10 +430,10 @@ object SparkEntry {
         | cl AS (SELECT w.id, coalesce(c.comp, w.rep) AS cid FROM w LEFT JOIN comp c ON w.rep = c.n)
         | SELECT id, cid AS "clusterId", min(id) OVER (PARTITION BY cid) AS keeper FROM cl""".stripMargin,
     "dedup_simhash" ->
-      """WITH RECURSIVE
-        | w AS (SELECT id, rep FROM read_parquet('/tmp/graft_oracle_aux/dedup_simhash_withrep/*.parquet')),
+      s"""WITH RECURSIVE
+        | w AS (SELECT id, rep FROM read_parquet('$oracleAuxDir/dedup_simhash_withrep/*.parquet')),
         | e AS (SELECT id0 AS a, id1 AS b
-        |       FROM read_parquet('/tmp/graft_oracle_aux/dedup_simhash_verified/*.parquet')
+        |       FROM read_parquet('$oracleAuxDir/dedup_simhash_verified/*.parquet')
         |       WHERE id0 <> id1),
         | sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
         | nodes AS (SELECT DISTINCT a AS n FROM sym),
@@ -452,23 +443,23 @@ object SparkEntry {
         | cl AS (SELECT w.id, coalesce(c.comp, w.rep) AS cid FROM w LEFT JOIN comp c ON w.rep = c.n)
         | SELECT id, cid AS "clusterId", min(id) OVER (PARTITION BY cid) AS keeper FROM cl""".stripMargin,
     "embed_neardup" ->
-      """WITH v AS (SELECT id, unit FROM read_parquet('/tmp/graft_oracle_aux/embed_neardup_units/*.parquet')),
-        | c AS (SELECT id0, id1 FROM read_parquet('/tmp/graft_oracle_aux/embed_neardup_cands/*.parquet')),
+      s"""WITH v AS (SELECT id, unit FROM read_parquet('$oracleAuxDir/embed_neardup_units/*.parquet')),
+        | c AS (SELECT id0, id1 FROM read_parquet('$oracleAuxDir/embed_neardup_cands/*.parquet')),
         | s AS (SELECT c.id0, c.id1,
         |         list_dot_product(CAST(v0.unit AS DOUBLE[]), CAST(v1.unit AS DOUBLE[])) AS cosine
         |       FROM c JOIN v v0 ON c.id0 = v0.id JOIN v v1 ON c.id1 = v1.id)
         | SELECT id0, id1, cosine FROM s WHERE cosine >= CAST(0.3 AS DOUBLE)""".stripMargin,
     "ann_lsh_topk" ->
-      """WITH c AS (SELECT query_id, id,
+      s"""WITH c AS (SELECT query_id, id,
         |     list_dot_product(CAST(qunit AS DOUBLE[]), CAST(unit AS DOUBLE[])) AS cosine
-        |   FROM read_parquet('/tmp/graft_oracle_aux/ann_lsh_cands/*.parquet')),
+        |   FROM read_parquet('$oracleAuxDir/ann_lsh_cands/*.parquet')),
         | r AS (SELECT query_id, id, cosine,
         |     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank FROM c)
         | SELECT query_id, id, cosine, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""".stripMargin,
     "ann_ivf_topk" ->
-      """WITH c AS (SELECT query_id, id,
+      s"""WITH c AS (SELECT query_id, id,
         |     list_dot_product(CAST(qunit AS DOUBLE[]), CAST(unit AS DOUBLE[])) AS cosine
-        |   FROM read_parquet('/tmp/graft_oracle_aux/ann_ivf_cands/*.parquet')),
+        |   FROM read_parquet('$oracleAuxDir/ann_ivf_cands/*.parquet')),
         | r AS (SELECT query_id, id, cosine,
         |     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank FROM c)
         | SELECT query_id, id, cosine, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""".stripMargin,

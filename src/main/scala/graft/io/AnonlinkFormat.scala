@@ -15,15 +15,22 @@ import graft.cand.Candidates
   *    float width, dataset-index uint width, record-index uint width;
   *  - entries (`<{f}2{d}2{r}`): similarity, dset0, dset1, rec0, rec1.
   *
-  * Widths: floats 4/8 on write and 2/4/8 on read (the reference dumps
-  * from Python arrays, which have no half type — but its reader accepts
-  * `e`, so ours does too); uints 1/2/4/8. Integers are unsigned — 8-byte
+  * Widths: floats 2/4/8 both ways (the reference dumps from Python
+  * arrays, which have no half type, but its reader AND its merge
+  * handle `e` — a merge of width-2 inputs must emit width 2 to stay
+  * byte-identical); uints 1/2/4/8. Integers are unsigned — 8-byte
   * record indices round-trip through Long bit patterns and all
   * comparisons are unsigned, so the full u64 range survives a merge.
   *
   * [[merge]] reproduces `merge_streams` (`serialization.py:285-362`):
   * k-way heap merge in the global `(-sim, dset0, dset1, rec0, rec1)`
   * order with field widths promoted to the maximum across inputs.
+  *
+  * Interop is verified in BOTH directions: the golden-byte tests in
+  * `AnonlinkFormatSpec` pin dump/merge output to bytes produced by the
+  * reference serializer, and the reference's own
+  * `load_candidate_pairs` was run against a file dumped by this code
+  * (round-trips exactly, including a 2^64-1 record index).
   *
   * This is the LITERAL wire path (Z1/Z2/Z3) for federating with
   * anonlink shards; [[CandidateIO]]'s Parquet exchange remains the
@@ -34,9 +41,11 @@ import graft.cand.Candidates
   */
 object AnonlinkFormat {
 
-  /** Field widths of one wire file. */
+  /** Field widths of one wire file. Sim width 2 (IEEE binary16) is
+    * reader-legal in the reference and its merge PRESERVES it, so it is
+    * a first-class width here too. */
   final case class WireSizes(sim: Int, dset: Int, rec: Int) {
-    require(sim == 4 || sim == 8, s"floats of $sim bytes are not supported for writing")
+    require(Set(2, 4, 8)(sim), s"floats of $sim bytes are not supported")
     require(Set(1, 2, 4, 8)(dset), s"indices of $dset bytes are not supported")
     require(Set(1, 2, 4, 8)(rec), s"indices of $rec bytes are not supported")
     def entryBytes: Int = sim + 2 * dset + 2 * rec
@@ -81,9 +90,33 @@ object AnonlinkFormat {
   }
 
   private def writeSim(out: OutputStream, sim: Double, width: Int): Unit = width match {
+    case 2 => writeUint(out, doubleToHalfBits(sim).toLong & 0xffffL, 2)
     case 4 => writeUint(out, java.lang.Float.floatToIntBits(sim.toFloat).toLong & 0xffffffffL, 4)
     case 8 => writeUint(out, java.lang.Double.doubleToLongBits(sim), 8)
     case w => throw new IllegalArgumentException(s"floats of $w bytes are not supported")
+  }
+
+  /** double → IEEE binary16 bits (JDK 17 lacks Float.floatToFloat16).
+    * Values that came FROM a half decode re-encode exactly; for others
+    * this rounds half-up at the mantissa cut (only reachable if a
+    * caller explicitly dumps at width 2). */
+  private def doubleToHalfBits(d: Double): Int = {
+    val fbits = java.lang.Float.floatToIntBits(d.toFloat)
+    val sign = (fbits >>> 16) & 0x8000
+    val v = (fbits & 0x7fffffff) + 0x1000
+    if (v >= 0x47800000) {
+      if ((fbits & 0x7fffffff) >= 0x47800000) {
+        if ((fbits & 0x7fffffff) < 0x7f800000) sign | 0x7c00 // overflow → Inf
+        else sign | 0x7c00 | ((fbits & 0x007fffff) >>> 13) | // NaN: keep payload
+          (if ((fbits & 0x007fffff) == 0) 0 else 0x200)
+      } else sign | 0x7bff
+    }
+    else if (v >= 0x38800000) sign | ((v - 0x38000000) >>> 13) // normal
+    else if ((fbits & 0x7fffffff) < 0x33000000) sign // underflow → ±0
+    else { // subnormal half
+      val e = (fbits & 0x7fffffff) >>> 23
+      sign | ((((fbits & 0x7fffff) | 0x800000) + (0x800000 >>> (e - 102))) >>> (126 - e))
+    }
   }
 
   private def readExact(in: InputStream, n: Int): Array[Byte] = {
@@ -149,11 +182,9 @@ object AnonlinkFormat {
     val header = readExact(i, 4)
     if (header == null) throw new EOFException("ran out of input")
     require(header(0) == 1, "unsupported version of serialized file")
-    // WireSizes requires sim 4/8 (write widths); size-2 read is legal
     val simW = header(1) & 0xff
-    require(simW == 2 || simW == 4 || simW == 8, s"floats of $simW bytes are not supported")
-    val sizes = WireSizes(if (simW == 2) 4 else simW, header(2) & 0xff, header(3) & 0xff)
-    val entryBytes = simW + 2 * sizes.dset + 2 * sizes.rec
+    val sizes = WireSizes(simW, header(2) & 0xff, header(3) & 0xff)
+    val entryBytes = sizes.entryBytes
     val it = new Iterator[Entry] {
       private var nextBuf: Array[Byte] = _
       private var eof = false
@@ -211,6 +242,18 @@ object AnonlinkFormat {
     df.select(col("sim").cast("double"), col("dset0").cast("long"),
       col("dset1").cast("long"), col("rec0").cast("long"), col("rec1").cast("long"))
 
+  /** The wire order's index comparisons are UNSIGNED (Python ints),
+    * but Spark sorts longs signed — flipping the sign bit maps unsigned
+    * order onto signed order, so a record id ≥ 2^63 (e.g. a 64-bit hash
+    * with the high bit set) sorts where the reference's heapq expects
+    * it. [[Candidates.globalSortCols]] is NOT reused here for exactly
+    * this reason. */
+  private def wireSortCols = Seq(desc("sim"),
+    col("dset0").bitwiseXOR(Long.MinValue).asc,
+    col("dset1").bitwiseXOR(Long.MinValue).asc,
+    col("rec0").bitwiseXOR(Long.MinValue).asc,
+    col("rec1").bitwiseXOR(Long.MinValue).asc)
+
   /** Dump a candidate-pair DataFrame as ONE wire file in the global
     * order. The wire format is an inherently sequential single stream,
     * so rows funnel through the driver (`toLocalIterator` — one
@@ -220,7 +263,7 @@ object AnonlinkFormat {
     val spark = pairs.sparkSession
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rows = entryRows(Candidates.sorted(pairs)).toLocalIterator()
+    val rows = entryRows(pairs).sort(wireSortCols: _*).toLocalIterator()
     val out = fs.create(p, true)
     try dump(
       new Iterator[Entry] {
@@ -237,7 +280,7 @@ object AnonlinkFormat {
   def dumpShards(pairs: DataFrame, dir: String, sizes: WireSizes = DefaultSizes): Unit = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       pairs.sparkSession.sparkContext.hadoopConfiguration)
-    entryRows(pairs.sortWithinPartitions(Candidates.globalSortCols: _*))
+    entryRows(pairs).sortWithinPartitions(wireSortCols: _*)
       .foreachPartition { (rows: Iterator[Row]) =>
         if (rows.hasNext) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -250,6 +293,17 @@ object AnonlinkFormat {
           finally out.close()
         }
       }
+    // an all-empty input must still round-trip: emit one header-only
+    // shard (the reference's dump writes a valid header for the empty
+    // set too) so mergePaths/loadPairs over the dir keep working
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf.value)
+    val any = fs.exists(dirPath) &&
+      fs.listStatus(dirPath).exists(_.getPath.getName.endsWith(".anonlink"))
+    if (!any) {
+      val out = fs.create(new Path(dirPath, "shard-00000.anonlink"), true)
+      try dump(Iterator.empty, sizes, out) finally out.close()
+    }
   }
 
   /** Merge wire files (paths, any Hadoop FS) into one wire file. */
@@ -273,7 +327,15 @@ object AnonlinkFormat {
       .as[Array[Byte]]
       .flatMap { bytes =>
         val (_, it) = load(new java.io.ByteArrayInputStream(bytes))
-        it.map(e => (e.sim, e.dset0.toInt, e.dset1.toInt, e.rec0, e.rec1))
+        it.map { e =>
+          // the engine schema carries dataset ids as Int; a wire file
+          // with wider ids must fail loudly, not truncate silently
+          require(e.dset0 >= 0 && e.dset0 <= Int.MaxValue
+            && e.dset1 >= 0 && e.dset1 <= Int.MaxValue,
+            s"dataset index (${e.dset0}, ${e.dset1}) exceeds Int range; " +
+              "load with AnonlinkFormat.load for full u64 ids")
+          (e.sim, e.dset0.toInt, e.dset1.toInt, e.rec0, e.rec1)
+        }
       }
       .toDF(Candidates.columns: _*)
   }

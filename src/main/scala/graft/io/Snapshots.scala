@@ -91,6 +91,25 @@ object Snapshots {
         df.write.mode("overwrite").parquet(p)
         df.sparkSession.read.parquet(p)
     }
+
+    /** Solver epilogue: snapshot the RESULT as the final round, then
+      * delete every earlier round dir — the returned DataFrame's
+      * lineage bottoms out in the one kept snapshot, so a long-lived
+      * checkpoint dir holds exactly one snapshot per solver run
+      * instead of growing by O(rounds). No-op passthrough without a
+      * dir (the localCheckpoint path has nothing on disk to prune). */
+    def finish(df: DataFrame): DataFrame = runDir match {
+      case None => df
+      case Some(d) =>
+        val out = apply(df)
+        val last = n
+        val fs = new Path(d).getFileSystem(
+          df.sparkSession.sparkContext.hadoopConfiguration)
+        (1 until last).foreach { i =>
+          scala.util.Try(fs.delete(new Path(s"$d/r$i"), true))
+        }
+        out
+    }
   }
 
   /** Resume from an existing snapshot, or compute + snapshot it.

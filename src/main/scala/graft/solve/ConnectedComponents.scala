@@ -126,9 +126,11 @@ object ConnectedComponents {
     }
 
     // After convergence each edge is (root, member); roots self-map.
+    // finish(): snapshot the result, prune the per-round snapshots —
+    // the checkpoint dir keeps exactly one snapshot per solver run.
     val members = e.select($"dst".as("node"), $"src".as("component"))
     val roots = e.select($"src".as("node"), $"src".as("component")).distinct()
-    members.union(roots).distinct()
+    ckpt.finish(members.union(roots).distinct())
   }
 
   /** Convenience: cluster candidate pairs (dset0,dset1,rec0,rec1) into

@@ -71,7 +71,7 @@ object DistributedGreedy {
         val tail = out.toSeq.map(c => (c.sim, c.dset0, c.dset1, c.rec0, c.rec1))
           .toDF(Candidates.columns: _*)
         matched = if (matched == null) tail else matched.unionByName(tail)
-        return matched
+        return ckpt.finish(matched)
       }
       val w0 = Window.partitionBy("rec0").orderBy(Candidates.globalSortCols: _*)
       val w1 = Window.partitionBy("rec1").orderBy(Candidates.globalSortCols: _*)
@@ -100,7 +100,7 @@ object DistributedGreedy {
       }
       iter += 1
     }
-    matched
+    ckpt.finish(matched)
   }
 
   /** Matching → cluster table (dsetId, recId, clusterId), same shape as

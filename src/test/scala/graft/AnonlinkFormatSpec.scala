@@ -16,6 +16,8 @@ import graft.io.AnonlinkFormat.{Entry, WireSizes}
 class AnonlinkFormatSpec extends AnyFunSuite {
 
   private def hex(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
+  private def unhex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 
   private def dumped(entries: Seq[Entry], sizes: WireSizes): Array[Byte] = {
     val out = new ByteArrayOutputStream()
@@ -92,6 +94,19 @@ class AnonlinkFormatSpec extends AnyFunSuite {
         "000000000000d03f0000010005000600")
   }
 
+  test("merge: width-2 sims stay width 2, byte-identical to the reference") {
+    // reference merge_streams of two hand-crafted binary16-sim files
+    // (header 01 02 01 01) keeps sim width 2 — golden produced by
+    // running the reference on these exact bytes
+    val fa = unhex("01020101003a00010102")
+    val fb = unhex("01020101003a00010009003400010506")
+    val out = new ByteArrayOutputStream()
+    AnonlinkFormat.merge(
+      Seq(new ByteArrayInputStream(fa), new ByteArrayInputStream(fb)), out)
+    assert(hex(out.toByteArray) ===
+      "01020101003a00010009003a00010102003400010506")
+  }
+
   test("merge: unsigned ordering across the u64 boundary") {
     // 2^63 (Long.MinValue bit pattern) must sort AFTER 2^63 - 1
     val a = dumped(Seq(Entry(0.5, 0, 1, 0, Long.MinValue)), WireSizes(8, 1, 8))
@@ -140,5 +155,43 @@ class AnonlinkFormatSparkSpec extends AnyFunSuite {
     val b1 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/merged.anonlink"))
     val b2 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/single.anonlink"))
     assert(java.util.Arrays.equals(b1, b2))
+  }
+
+  test("dumpPairs sorts record ids UNSIGNED (64-bit hashes with the high bit set)") {
+    import spark.implicits._
+    // -1L is u64-max: unsigned order puts it LAST even though Spark's
+    // signed asc would put it first
+    val pairs = Seq((0.5, 0, 1, 7L, -1L), (0.5, 0, 1, 7L, 5L))
+      .toDF(graft.cand.Candidates.columns: _*)
+    val dir = java.nio.file.Files.createTempDirectory("wireu").toString
+    AnonlinkFormat.dumpPairs(pairs, s"$dir/u.anonlink")
+    val (_, it) = AnonlinkFormat.load(new java.io.FileInputStream(s"$dir/u.anonlink"))
+    assert(it.map(_.rec1).toSeq === Seq(5L, -1L))
+  }
+
+  test("dumpShards of an empty pair set emits a header-only shard that round-trips") {
+    import spark.implicits._
+    val empty = Seq.empty[(Double, Int, Int, Long, Long)]
+      .toDF(graft.cand.Candidates.columns: _*)
+    val dir = java.nio.file.Files.createTempDirectory("wiree").toString
+    AnonlinkFormat.dumpShards(empty, s"$dir/shards")
+    val shards = new java.io.File(s"$dir/shards").listFiles()
+      .filter(_.getName.endsWith(".anonlink")).map(_.toString).toSeq
+    assert(shards.size === 1)
+    AnonlinkFormat.mergePaths(spark, shards, s"$dir/merged.anonlink")
+    assert(AnonlinkFormat.loadPairs(spark, s"$dir/merged.anonlink").count() === 0L)
+  }
+
+  test("loadPairs fails loudly when dataset ids exceed the engine's Int schema") {
+    val dir = java.nio.file.Files.createTempDirectory("wired").toString
+    val out = new java.io.FileOutputStream(s"$dir/wide.anonlink")
+    AnonlinkFormat.dump(Iterator(AnonlinkFormat.Entry(0.5, 1L << 33, 1, 0, 1)),
+      AnonlinkFormat.WireSizes(8, 8, 8), out)
+    out.close()
+    val err = intercept[org.apache.spark.SparkException] {
+      AnonlinkFormat.loadPairs(spark, s"$dir/wide.anonlink").collect()
+    }
+    assert(err.getMessage.contains("exceeds Int range")
+      || err.getCause != null && err.getCause.getMessage.contains("exceeds Int range"))
   }
 }
