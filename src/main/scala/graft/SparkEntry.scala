@@ -284,10 +284,19 @@ object SparkEntry {
     }),
     "ann_ivf_topk" -> ((s, dir) => {
       // quantizer persisted per sf dir (fit once, reused across calls —
-      // the IVF default at scale); keyed by the corpus path hash
+      // the IVF default at scale); keyed by path + a cheap FS content
+      // signature (file names/sizes/mtimes — metadata only, no data
+      // pass), so a regenerated corpus refits instead of silently
+      // reusing stale centroids
       val emb = t(s, dir, "embeddings")
+      val sigSrc = new java.io.File(s"$dir/embeddings.parquet") match {
+        case f if f.isDirectory =>
+          f.listFiles().sortBy(_.getName)
+            .map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString(";")
+        case f => s"${f.length}:${f.lastModified}"
+      }
       val cdir = s"${sys.props("java.io.tmpdir")}/graft_ivf/" +
-        java.lang.Long.toHexString(core.Hashing.str(dir, 0x1eefL))
+        java.lang.Long.toHexString(core.Hashing.str(dir + "|" + sigSrc, 0x1eefL))
       ops.Ann.ivfTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, centroidsDir = Some(cdir), tap = auxTap("ann_ivf"))
     }),

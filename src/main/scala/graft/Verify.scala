@@ -17,6 +17,21 @@ object Verify {
     // enable the differential-oracle aux dumps (SparkEntry.dumpAux):
     // queries write deterministic intermediates the oracle SQL re-reads
     sys.props("graft.oracle.aux") = "1"
+    // STALE-ARTIFACT GUARD: wipe both output dirs before running. A
+    // query that throws must leave a hole the driver records as a
+    // failure — never a previous run's parquet (which, for the
+    // aux-differential oracles, would hash-match its equally stale aux
+    // dump and read as a false pass).
+    def wipe(dir: String): Unit = {
+      def rec(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rec)
+        f.delete(); ()
+      }
+      val f = new java.io.File(dir)
+      if (f.exists()) rec(f)
+    }
+    wipe(outDir)
+    wipe(SparkEntry.oracleAuxDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

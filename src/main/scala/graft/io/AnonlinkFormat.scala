@@ -283,14 +283,22 @@ object AnonlinkFormat {
     entryRows(pairs).sortWithinPartitions(wireSortCols: _*)
       .foreachPartition { (rows: Iterator[Row]) =>
         if (rows.hasNext) {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val p = new Path(f"$dir/shard-$pid%05d.anonlink")
-          val fs = p.getFileSystem(conf.value)
-          val out = fs.create(p, true)
+          // write-to-temp-then-rename commit: a killed/speculative task
+          // attempt must never leave a truncated shard at the final
+          // path (a half-written wire file poisons any later merge)
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val fin = new Path(f"$dir/shard-$pid%05d.anonlink")
+          val tmp = new Path(f"$dir/.shard-$pid%05d.anonlink.attempt-${tc.taskAttemptId()}%d")
+          val fs = fin.getFileSystem(conf.value)
+          val out = fs.create(tmp, true)
           try dump(rows.map(r =>
             Entry(r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))),
             sizes, out)
           finally out.close()
+          // first completed attempt wins; later attempts discard
+          if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
+          ()
         }
       }
     // an all-empty input must still round-trip: emit one header-only

@@ -237,11 +237,15 @@ object Ann {
     def nearestCells(v: Array[Float], n: Int): Seq[Int] = {
       val cs = cBc.value
       cs.indices.map { c =>
+        val cc = cs(c)
+        // stale/foreign centroids must fail loudly, not silently
+        // truncate the dot product over mismatched dimensions
+        require(cc.length == v.length,
+          s"centroid dim ${cc.length} != vector dim ${v.length} — " +
+            "stale persisted centroids? delete the centroids dir to refit")
         var dot = 0.0
         var d = 0
-        val cc = cs(c)
-        val len = math.min(cc.length, v.length)
-        while (d < len) { dot += cc(d) * v(d); d += 1 }
+        while (d < cc.length) { dot += cc(d) * v(d); d += 1 }
         (c, dot)
       }.sortBy { case (c, dot) => (-dot, c) }.take(n).map(_._1)
     }

@@ -47,10 +47,14 @@ object ConnectedComponents {
     import spark.implicits._
     val ckpt = new graft.io.Snapshots.RoundCheckpointer(checkpointDir)
 
-    var e = ckpt(edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // the driver-finish gate runs BEFORE the first round snapshot: the
+    // small-tail path collects immediately, so a stable-storage write
+    // here would be pure overhead AND an orphan (its run never reaches
+    // finish()); the iterative path snapshots right after the gate
+    var e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src") =!= col("dst"))
       .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
-      .distinct())
+      .distinct()
 
     if (e.count() <= driverFinishThreshold) {
       val arr = e.as[(Long, Long)].collect()
@@ -70,6 +74,8 @@ object ConnectedComponents {
       onRound(0, arr.length.toLong)
       return nodes.iterator.map(nd => (nd, find(nd))).toSeq.toDF("node", "component")
     }
+
+    e = ckpt(e)
 
     // convergence signature helper: edge set compared via (count,
     // hash-sum) in ONE aggregate instead of an exceptAll join. The edge
