@@ -37,6 +37,44 @@ object StreamOps {
       dsetIdExpr: org.apache.spark.sql.Column): DataFrame =
     graft.Linkage.encode(pages, params, dsetIdExpr).toDF()
 
+  /** Incremental linkage: match STREAMING pages against a packed
+    * reference set (the production shape — a continuously-ingested
+    * crawl matched against yesterday's entity table). Each micro-batch
+    * is encoded with the SAME deterministic batch encoder and scored
+    * with the SAME broadcast kernel as [[graft.Linkage
+    * .scoreAgainstBroadcast]], so stream results equal batch results on
+    * the same rows. `k` top-k applies per micro-batch partition —
+    * enforce a global k downstream with [[graft.cand.Candidates
+    * .enforceK]] over the sink if cross-batch top-k is required. */
+  def matchAgainstReference(
+      pages: DataFrame,
+      reference: Array[graft.sim.ClkRow],
+      params: graft.LinkageParams): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val clks = graft.Linkage.encode(pages, params, lit(0))
+      .map(r => graft.sim.ClkRow(r.recId, r.clk, r.pop))
+    graft.Linkage.scoreAgainstBroadcast(clks, reference, params)
+  }
+
+  /** Pack a batch reference table for [[matchAgainstReference]]:
+    * encode + collect. Broadcast-sized by contract — the guard keeps a
+    * fat reference from silently OOMing the driver (1024-bit CLKs ≈
+    * 150 B/row ⇒ the default cap ≈ 300 MB, a reasonable broadcast). */
+  def packReference(
+      pages: DataFrame,
+      params: graft.LinkageParams,
+      maxRows: Long = 2000000L): Array[graft.sim.ClkRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val enc = graft.Linkage.encode(pages, params, lit(1))
+    val n = enc.count()
+    require(n <= maxRows,
+      s"reference has $n rows > $maxRows — too big to broadcast; " +
+        "use the batch blocked pipeline (Linkage.candidatePairs) instead")
+    enc.map(r => graft.sim.ClkRow(r.recId, r.clk, r.pop)).collect()
+  }
+
   case class SeenState(count: Long)
   case class SeenOut(fingerprint: Long, occurrence: Long, firstSeen: Boolean)
 

@@ -55,6 +55,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming match-against-reference equals batch scoring on the same rows") {
+    // reference = dataset 1; stream = dataset 0 pages arriving in files
+    val all = gen.Corpus.labeledPages(spark, gen.Corpus.Params(entities = 40L, seed = 31L))
+    val params = LinkageParams(blocking = NoBlocking, threshold = 0.7, k = None)
+    val refPages = all.where(col("dsetId") === 1).cache()
+    val streamPages = all.where(col("dsetId") === 0).cache()
+    val packed = StreamOps.packReference(refPages, params)
+    assert(packed.nonEmpty)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-mstream").toString
+    streamPages.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(streamPages.schema).parquet(dir)
+    val q = StreamOps.matchAgainstReference(stream, packed, params)
+      .writeStream.outputMode("append").format("memory").queryName("match_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("sim", "rec0", "rec1").collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSet
+    val got = canon(spark.table("match_stream"))
+    // batch oracle: the same kernel over the same rows (k=None so
+    // per-partition top-k cannot differ between stream and batch)
+    import spark.implicits._
+    val batchClks = Linkage.encode(streamPages, params, lit(0))
+      .map(r => graft.sim.ClkRow(r.recId, r.clk, r.pop))
+    val want = canon(Linkage.scoreAgainstBroadcast(batchClks, packed, params))
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("packReference refuses references too big to broadcast") {
+    val pages = gen.Corpus.labeledPages(spark, gen.Corpus.Params(entities = 10L, seed = 32L))
+    val err = intercept[IllegalArgumentException] {
+      StreamOps.packReference(pages, LinkageParams(), maxRows = 1L)
+    }
+    assert(err.getMessage.contains("too big to broadcast"))
+  }
+
   test("stateful dedup-on-entry counts occurrences across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fps").toString
     // two micro-batch files with overlapping fingerprints
