@@ -198,9 +198,11 @@ object Dedup {
       .toDF("id", "bands", "grams")
       .cache()
 
-    // bounded same-band candidate pairs (canonical id0 < id1), deduped
+    // bounded same-band candidate pairs (canonical id0 < id1), deduped;
+    // cached: the pair set feeds the intersection join AND the verified
+    // base — uncached, the census+tiling+distinct would run twice
     val banded = sigs.select(explode($"bands").as("bucket"), $"id")
-    val pairs = bucketPairs(banded, pairBudget).distinct()
+    val pairs = bucketPairs(banded, pairBudget).distinct().cache()
 
     // verify with exact n-gram Jaccard THROUGH the gram inverted index:
     // intersection sizes come from (pair, gram) scalar rows — never by
@@ -261,7 +263,7 @@ object Dedup {
         (shiftright($"sig", c * 16).bitwiseAND(0xffffL) + lit(c.toLong << 16)).as(s"k$c")): _*))
         .as("bucket"),
       $"id")
-    val pairs = bucketPairs(chunked, pairBudget).distinct()
+    val pairs = bucketPairs(chunked, pairBudget).distinct().cache()
 
     val s0 = sigs.select($"id".as("id0"), $"sig".as("s0"))
     val s1 = sigs.select($"id".as("id1"), $"sig".as("s1"))

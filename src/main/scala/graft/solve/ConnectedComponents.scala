@@ -143,10 +143,14 @@ object ConnectedComponents {
     * (dsetId, recId, clusterId). Node ids are packed via a mixing of
     * (dsetId, recId); the caller keeps a vertex table for the reverse
     * mapping. */
-  def clusterPairs(pairs: DataFrame, maxIterations: Int = 50,
+  def clusterPairs(pairs0: DataFrame, maxIterations: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
-    val spark = pairs.sparkSession
+    val spark = pairs0.sparkSession
     import spark.implicits._
+    // cache: the pair stream is scanned by BOTH vertex projections, the
+    // edge projection, and CC's initial distinct+count — without this a
+    // lazily-derived input (the whole scoring pipeline) recomputes 3-4×
+    val pairs = pairs0.cache()
     val nodeId0 = Encoding.nodeIdCol(col("dset0"), col("rec0"))
     val nodeId1 = Encoding.nodeIdCol(col("dset1"), col("rec1"))
     val vertices = pairs.select(col("dset0").as("dsetId"), col("rec0").as("recId"))
