@@ -84,11 +84,12 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       driverFinishThreshold = 0L, checkpointDir = Some(dir))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(withCkpt === runCC(edges))
-    // round snapshots exist under the per-run subdir
+    // round snapshots exist under the per-run subdir — and finish()
+    // pruned all but the final (result) snapshot
     val roundDirs = new java.io.File(dir).listFiles()
     assert(roundDirs != null && roundDirs.nonEmpty)
-    val rounds = roundDirs.head.listFiles().map(_.getName).toSeq
-    assert(rounds.exists(_.startsWith("r")))
+    val rounds = roundDirs.head.listFiles().map(_.getName).filter(_.startsWith("r")).toSeq
+    assert(rounds.size === 1, s"expected exactly one kept snapshot, got $rounds")
     // the result DataFrame itself survives a full re-read (its lineage
     // bottoms out in the snapshot files, not executor memory)
     val again = ConnectedComponents.run(edges.toDF("src", "dst"),
