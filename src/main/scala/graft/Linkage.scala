@@ -70,8 +70,9 @@ object Linkage {
   def recId(url: String): Long = Hashing.str(url, RecIdSeed)
   /** Column form of [[recId]] (UDF — used at boundaries/joins only,
     * never in the hot scoring path). */
+  private val recIdUdf = udf((u: String) => recId(u))
   def recIdCol(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    udf((u: String) => recId(u)).apply(url)
+    recIdUdf(url)
 
   /** E1: encode pages into CLKs + blocking keys. One pass over the
     * text: n-gram hashes feed both the Bloom filter and the minhash
@@ -88,19 +89,35 @@ object Linkage {
     // column-pruned input: only url + text (+ dsetId) are read — html
     // is never touched (scan prunes it from the Parquet read schema).
     pages
-      .select(col("url"), col("text"), dsetIdExpr.cast("int").as("dsetId"))
+      // crawl extracts carry NULL texts routinely — encode them as ""
+      // (empty CLK) instead of NPEing in the hot map; a NULL url has no
+      // identity, so fail loudly per row rather than hash a null
+      .select(
+        col("url"),
+        coalesce(col("text"), lit("")).as("text"),
+        dsetIdExpr.cast("int").as("dsetId"))
+      .where(assert_true(col("url").isNotNull,
+        lit("encode: url must not be null (record identity is url-derived)")).isNull)
       .as[(String, String, Int)]
       .mapPartitions { it =>
         it.map { case (url, text, dsetId) =>
           val grams = ClkEncoder.ngramHashes(text, clkParams)
           val clk = ClkEncoder.encodeFromGrams(grams, clkParams)
+          val pop = BitVector.popcount(clk)
           val keys = blocking match {
             case MinhashBlocking(p) => Blocking.minhashBandKeys(grams, p)
-            case BitBandBlocking(p) => Blocking.bitBandKeys(clk, p)
+            // empty CLKs can never match at threshold > 0 (Dice 0/0 → 0,
+            // reference _dice_python.py:113-116) but WOULD all collide
+            // on identical bit-band keys and become the hottest block in
+            // the pipeline — drop their keys like minhashBandKeys does
+            // for empty gram sets. NoBlocking keeps them: its semantics
+            // are "compare everything" (naive-parity tests rely on it).
+            case BitBandBlocking(p) =>
+              if (pop == 0) Array.empty[Long] else Blocking.bitBandKeys(clk, p)
             case NoBlocking => Array(0L)
           }
-          EncodedRecord(dsetId, Hashing.str(url, RecIdSeed), url,
-            BitVector.toBytes(clk), BitVector.popcount(clk), keys)
+          EncodedRecord(dsetId, recId(url), url,
+            BitVector.toBytes(clk), pop, keys)
         }
       }
   }
@@ -176,7 +193,11 @@ object Linkage {
     // the non-A datasets, so only pure {0,1} keys are salted — a
     // multiparty-spanning hot key stays one (large) cell. Two-party —
     // the reference's similarity scope — is always fully salted.
-    val hot = keyStats.where($"n0" * $"n1" > budget && $"dmax" <= 1)
+    // dmin >= 0 matters: a signed dsetIdExpr (e.g. hash % 2 → {-1,0,1})
+    // must NOT pass as bipartite — dset -1 and dset 1 would both land
+    // on the B side and never share a salt cell, silently losing their
+    // cross pairs.
+    val hot = keyStats.where($"n0" * $"n1" > budget && $"dmin" >= 0 && $"dmax" <= 1)
       .select($"key", $"n0", $"n1")
       .collect()
       .map { r =>
@@ -276,6 +297,13 @@ object Linkage {
     * with the Dice kernel as the theta-predicate). Per-left top-k here
     * spans the WHOLE right side, exactly like the reference's
     * one-against-many kernel (`dice.cpp:518`). */
+  /** NOTE: `comparisons` is updated inside a transformation — Spark
+    * only guarantees exactly-once accumulator updates inside ACTIONS,
+    * so task retries / multiple actions on the uncached result inflate
+    * it (instrumentation, not bookkeeping; Bench's `require(acc == n²)`
+    * doubles as a no-retry sanity check). Each call broadcasts a fresh
+    * packed copy of `bRows`; in a tight loop reuse one call per input
+    * or expect ContextCleaner to reap old broadcasts lazily. */
   def scoreAgainstBroadcast(
       a: Dataset[ClkRow],
       bRows: Array[ClkRow],
@@ -347,16 +375,34 @@ object Linkage {
   }
 
   /** V2: transitive clustering of the candidate pairs. Returns
-    * (dsetId, recId, clusterId). */
-  def clusters(pairs: DataFrame, params: LinkageParams): DataFrame = {
+    * (dsetId, recId, clusterId).
+    *
+    * `inputKey` feeds the snapshot content key alongside params — pass
+    * anything that identifies the PAIRS' provenance (run() passes the
+    * dsetIdExpr, mirroring candidatePairs' key) so a re-run over a
+    * different dataset split cannot silently resume a stale clusters
+    * snapshot. NOTE (applies to every snapshot stage): the content key
+    * identifies parameters, not input DATA — reusing a checkpointDir
+    * after the input corpus itself changes requires a fresh dir (or a
+    * caller-supplied corpus fingerprint in `inputKey`). */
+  def clusters(pairs: DataFrame, params: LinkageParams,
+      inputKey: String = ""): DataFrame = {
     val spark = pairs.sparkSession
-    graft.io.Snapshots.resumeOrCompute(spark, params.checkpointDir, "clusters",
-      params.toString) {
+    val out = graft.io.Snapshots.resumeOrCompute(spark, params.checkpointDir, "clusters",
+      params.toString + "/" + inputKey) {
       // with a checkpoint dir the CC rounds snapshot to stable storage
       // (executor-loss-safe) instead of localCheckpoint
       ConnectedComponents.clusterPairs(pairs,
         checkpointDir = params.checkpointDir.map(d => s"$d/cc"))
     }
+    // the clusters snapshot (or localCheckpoint) now owns the result —
+    // the CC round snapshots under cc/ are dead weight; drop them
+    params.checkpointDir.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$d/cc")
+      scala.util.Try(
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true))
+    }
+    out
   }
 
   /** End-to-end: pages → clusters (with url identity attached). The
@@ -366,7 +412,7 @@ object Linkage {
       dsetIdExpr: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
     val pairs = candidatePairs(pages, params, dsetIdExpr)
     val reusable = if (params.checkpointDir.isDefined) pairs else pairs.cache()
-    (reusable, clusters(reusable, params))
+    (reusable, clusters(reusable, params, dsetIdExpr.toString))
   }
 
   /** Driver-side exact solve for small candidate lists (the oracle

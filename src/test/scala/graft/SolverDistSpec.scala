@@ -122,6 +122,25 @@ class SolverDistSpec extends AnyFunSuite {
     assert(a == b && a.map(x => (x._2, x._3)) == Set((0, 1), (0, 2), (1, 2)))
   }
 
+  test("signed dsetIdExpr ({-1,0,1}) never loses cross pairs to bipartite salting") {
+    // hash % 2 in Spark is SIGNED (→ {-1,0,1}); a hot key spanning all
+    // three must NOT be salted as bipartite (dset -1 and 1 would land
+    // on the same salt side and lose their cross pairs) — the guard is
+    // dmin >= 0 && dmax <= 1
+    val pages = gen.Corpus.labeledPages(spark,
+      gen.Corpus.Params(entities = 40L, seed = 47L, minVariants = 3, maxVariants = 3))
+      .withColumn("dsetSigned", (xxhash64(col("url")) % 3).cast("int")) // {-2..2} incl. negatives
+    val base = LinkageParams(blocking = NoBlocking, threshold = 0.7, k = None)
+    val tiny = base.copy(pairBudget = 50L) // would salt the single key if allowed
+    def run(p: LinkageParams) =
+      Linkage.candidatePairs(pages, p, col("dsetSigned"))
+        .collect().map(r => (r.getDouble(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
+    val a = run(base)
+    val b = run(tiny)
+    assert(a == b && a.nonEmpty)
+    assert(a.exists { case (_, d0, d1, _, _) => d0 < 0 || d1 < 0 })
+  }
+
   test("native bit expressions match BitVector; null-safe; SQL-registered") {
     val rnd = new scala.util.Random(13)
     val rows = (0 until 50).map { i =>
