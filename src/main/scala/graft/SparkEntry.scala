@@ -90,11 +90,18 @@ object SparkEntry {
         .select($"doc_id", functions.BitFunctions.popcount_bin($"clk").as("pop"))
     }),
     "minhash_bands" -> ((s, dir) => {
-      // B1-analogue: minhash band keys per document (UDTF-style explode)
+      // B1-analogue: minhash band keys per document (UDTF-style explode).
+      // ASCII asserted: the DuckDB oracle (OracleSqlGen.minhashBandsSql)
+      // re-derives the word-gram hashes from codepoints while Scala
+      // hashes UTF-16 code units — identical only on ASCII text.
       import s.implicits._
       val mh = block.MinhashParams()
       val p = graft.encode.ClkParams()
-      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+      t(s, dir, "documents")
+        .where(assert_true(
+          length(coalesce($"text", lit(""))) === octet_length(encode(coalesce($"text", lit("")), "UTF-8")),
+          lit("minhash_bands oracle parity requires a pure-ASCII corpus")).isNull)
+        .select($"doc_id", $"text").as[(Long, String)]
         .flatMap { case (id, text) =>
           block.Blocking.minhashBandKeys(graft.encode.ClkEncoder.ngramHashes(text, p), mh)
             .map(k => (id, k))
@@ -119,9 +126,12 @@ object SparkEntry {
     }),
     "linkage_greedy_clusters" -> ((s, _) => {
       // exact distributed greedy matching (bit-parity with the
-      // reference greedy solver on bipartite input)
+      // reference greedy solver on bipartite input); pairs tapped so
+      // the oracle replays the same greedy sweep as unrolled
+      // mutual-best rounds (OracleSqlGen.greedyClustersSql)
       graft.solve.DistributedGreedy.clusters2Party(
-        Linkage.candidatePairs(corpus(s), linkParams, col("dsetId")))
+        dumpAux("linkage_greedy_pairs",
+          Linkage.candidatePairs(corpus(s), linkParams, col("dsetId"))))
     }),
 
     // ---- engine surface with DuckDB oracles (SURVEY §2.8 checklist) ----
@@ -312,8 +322,15 @@ object SparkEntry {
         "text")
         .select("doc_id", "lang_pred", "lang_score")),
     "text_fingerprint" -> ((s, dir) => {
+      // ASCII asserted: the oracle (OracleSqlGen.textFingerprintSql)
+      // recomputes the token FNV folds from codepoints — parity with
+      // the Scala UTF-16 code-unit hashing holds only on ASCII text
       import s.implicits._
-      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+      t(s, dir, "documents")
+        .where(assert_true(
+          length(coalesce($"text", lit(""))) === octet_length(encode(coalesce($"text", lit("")), "UTF-8")),
+          lit("text_fingerprint oracle parity requires a pure-ASCII corpus")).isNull)
+        .select($"doc_id", $"text").as[(Long, String)]
         .map { case (id, txt) =>
           (id, ops.TextOps.docFingerprint(txt), ops.TextOps.simhash(txt))
         }.toDF("doc_id", "fingerprint", "simhash")
@@ -615,6 +632,14 @@ object SparkEntry {
         |       WHEN s_es = best THEN 'es' ELSE 'de' END AS lang_pred,
         |  CASE WHEN tl > 0 AND cjk*3 >= tl THEN CAST(cjk AS DOUBLE)/tl
         |       WHEN best = 0 THEN 0.0 ELSE best END AS lang_score
-        | FROM g""".stripMargin
+        | FROM g""".stripMargin,
+    // bit-exact SQL reimplementations of the 64-bit hash kernels
+    // (FNV-1a + splitmix64 over HUGEINT limb arithmetic) — see
+    // graft.oracle.OracleSqlGen for the technique and parity caveats
+    "text_fingerprint" -> graft.oracle.OracleSqlGen.textFingerprintSql(),
+    "minhash_bands" -> graft.oracle.OracleSqlGen.minhashBandsSql(
+      block.MinhashParams(), graft.encode.ClkParams().seed),
+    "linkage_greedy_clusters" -> graft.oracle.OracleSqlGen.greedyClustersSql(
+      s"$oracleAuxDir/linkage_greedy_pairs/*.parquet")
   )
 }
