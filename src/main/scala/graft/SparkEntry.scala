@@ -40,6 +40,28 @@ object SparkEntry {
   private def auxTap(prefix: String): ops.Dedup.Tap =
     (stage, df) => dumpAux(s"${prefix}_$stage", df)
 
+  /** Oracle-parity guard: the DuckDB oracles for the text queries
+    * compare codepoint math against Scala's UTF-16/UTF-8 handling —
+    * identical only on pure-ASCII text. Asserted per row, but ONLY
+    * when the oracle will actually be compared (graft.Verify sets
+    * `graft.oracle.aux=1`): a non-ASCII corpus must fail the verify
+    * run with this message instead of a confusing hash mismatch, while
+    * Bench and library callers keep full UTF-16-correct behavior and
+    * pay no per-row encode. `allowNull = false` also rejects NULL text
+    * (the typed kernels downstream would NPE with a far worse message);
+    * multimodal passes `allowNull = true` because its engine and
+    * NULL-proofed oracle agree on NULL media. */
+  private def asciiAsserted(df: DataFrame, query: String,
+      allowNull: Boolean = false): DataFrame =
+    if (!sys.props.get("graft.oracle.aux").contains("1")) df
+    else {
+      val ascii = length(col("text")) === octet_length(encode(col("text"), "UTF-8"))
+      val pred = if (allowNull) col("text").isNull || ascii else col("text").isNotNull && ascii
+      val msg = s"$query oracle parity requires a" +
+        (if (allowNull) "" else " non-null") + " pure-ASCII corpus"
+      df.where(assert_true(pred, lit(msg)).isNull)
+    }
+
   /** Deterministic bipartite linkage corpus (fixed across sf dirs: the
     * linkage pipeline's input is synthesized per BASELINE.json, not the
     * TPC-H-ish harness tables). */
@@ -97,10 +119,7 @@ object SparkEntry {
       import s.implicits._
       val mh = block.MinhashParams()
       val p = graft.encode.ClkParams()
-      t(s, dir, "documents")
-        .where(assert_true(
-          length(coalesce($"text", lit(""))) === octet_length(encode(coalesce($"text", lit("")), "UTF-8")),
-          lit("minhash_bands oracle parity requires a pure-ASCII corpus")).isNull)
+      asciiAsserted(t(s, dir, "documents"), "minhash_bands")
         .select($"doc_id", $"text").as[(Long, String)]
         .flatMap { case (id, text) =>
           block.Blocking.minhashBandKeys(graft.encode.ClkEncoder.ngramHashes(text, p), mh)
@@ -316,20 +335,14 @@ object SparkEntry {
       // identical only while the corpus is ASCII (astral/CJK text must
       // fail loudly here rather than silently skew the score parity)
       ops.TextOps.withLangId(
-        t(s, dir, "documents").where(assert_true(
-          length(coalesce(col("text"), lit(""))) === octet_length(encode(coalesce(col("text"), lit("")), "UTF-8")),
-          lit("text_langid oracle parity requires a pure-ASCII corpus")).isNull),
-        "text")
+        asciiAsserted(t(s, dir, "documents"), "text_langid"), "text")
         .select("doc_id", "lang_pred", "lang_score")),
     "text_fingerprint" -> ((s, dir) => {
       // ASCII asserted: the oracle (OracleSqlGen.textFingerprintSql)
       // recomputes the token FNV folds from codepoints — parity with
       // the Scala UTF-16 code-unit hashing holds only on ASCII text
       import s.implicits._
-      t(s, dir, "documents")
-        .where(assert_true(
-          length(coalesce($"text", lit(""))) === octet_length(encode(coalesce($"text", lit("")), "UTF-8")),
-          lit("text_fingerprint oracle parity requires a pure-ASCII corpus")).isNull)
+      asciiAsserted(t(s, dir, "documents"), "text_fingerprint")
         .select($"doc_id", $"text").as[(Long, String)]
         .map { case (id, txt) =>
           (id, ops.TextOps.docFingerprint(txt), ops.TextOps.simhash(txt))
@@ -342,10 +355,8 @@ object SparkEntry {
       // ord(codepoint) against the Scala side's UTF-8 bytes, which only
       // agree on ASCII — a future non-ASCII corpus must fail loudly
       // here, not as a confusing oracle hash mismatch.
-      val media = t(s, dir, "documents")
-        .where(assert_true(
-          length(coalesce(col("text"), lit(""))) === octet_length(encode(coalesce(col("text"), lit("")), "UTF-8")),
-          lit("multimodal_features oracle parity requires a pure-ASCII corpus")).isNull)
+      val media = asciiAsserted(t(s, dir, "documents"), "multimodal_features",
+          allowNull = true)
         .select(col("doc_id").as("id"),
           encode(col("text"), "UTF-8").as("media"), lit("text/html").as("mime"))
       // exploded to one scalar row per (id, dim) — the raw array<float>
@@ -638,7 +649,7 @@ object SparkEntry {
     // graft.oracle.OracleSqlGen for the technique and parity caveats
     "text_fingerprint" -> graft.oracle.OracleSqlGen.textFingerprintSql(),
     "minhash_bands" -> graft.oracle.OracleSqlGen.minhashBandsSql(
-      block.MinhashParams(), graft.encode.ClkParams().seed),
+      block.MinhashParams(), graft.encode.ClkParams()),
     "linkage_greedy_clusters" -> graft.oracle.OracleSqlGen.greedyClustersSql(
       s"$oracleAuxDir/linkage_greedy_pairs/*.parquet")
   )

@@ -112,9 +112,14 @@ object TextOps {
 
   // ---------------- fingerprinting ----------------
 
+  /** Default seeds, named so the SQL oracle generator
+    * (graft.oracle.OracleSqlGen) and these kernels cannot drift. */
+  final val FingerprintSeed = 0xf19eL
+  final val SimhashSeed = 0x51a54L
+
   /** 64-bit rolling-hash document fingerprint (order-sensitive: a
     * content hash over the token stream). */
-  def docFingerprint(text: String, seed: Long = 0xf19eL): Long = {
+  def docFingerprint(text: String, seed: Long = FingerprintSeed): Long = {
     var h = Hashing.mix64(seed)
     var i = 0
     val len = text.length
@@ -140,7 +145,7 @@ object TextOps {
   }
 
   /** 64-bit SimHash over token 3-gram hashes. */
-  def simhash(text: String, seed: Long = 0x51a54L): Long = {
+  def simhash(text: String, seed: Long = SimhashSeed): Long = {
     val grams = graft.encode.ClkEncoder.wordNgramHashes(text, 3, seed)
     if (grams.isEmpty) return 0L
     val counts = new Array[Int](64)

@@ -149,7 +149,8 @@ object OracleSqlGen {
     * combine-fold) and TextOps.simhash (word-3-gram bit votes; bit 63
     * contributes -2^63 in two's complement, so the vote sum IS the
     * signed value). */
-  def textFingerprintSql(fpSeed: Long = 0xf19eL, shSeed: Long = 0x51a54L): String = {
+  def textFingerprintSql(fpSeed: Long = graft.ops.TextOps.FingerprintSeed,
+      shSeed: Long = graft.ops.TextOps.SimhashSeed): String = {
     val g = new Gen
     val fp = g.combineFold(Hashing.mix64(fpSeed), "whf")
     val simhash = g.let(Seq("grams" -> g.grams3("whs", shSeed)),
@@ -167,12 +168,15 @@ object OracleSqlGen {
     * minhash signature (signed minima, matching Scala Long compare) →
     * 32 band-key combine-folds. The |grams| × 96 mix64 evaluations run
     * vectorized over unnested rows, not lambdas. */
-  def minhashBandsSql(p: graft.block.MinhashParams, clkSeed: Long): String = {
+  def minhashBandsSql(p: graft.block.MinhashParams, clk: graft.encode.ClkParams): String = {
     val g = new Gen
+    val clkSeed = clk.seed
     val seedsSql = p.hashSeeds.mkString(", ")
     val n = p.numHashes
     val rpb = p.rowsPerBand
     require(rpb == 3, s"oracle SQL is written for rowsPerBand=3, got $rpb")
+    require(clk.ngramN == 3 && !clk.charNgrams,
+      s"oracle SQL is written for word 3-grams, got ngramN=${clk.ngramN} charNgrams=${clk.charNgrams}")
     val bandKey = g.combine(g.combine(g.combine(
       g.combine(s"CAST(${p.seed} AS BIGINT)", "CAST(band AS BIGINT)"), "s0"), "s1"), "s2")
     s"""WITH wh AS (SELECT doc_id, ${g.wordHashes("text", clkSeed)} AS wl FROM documents),
@@ -193,10 +197,14 @@ object OracleSqlGen {
     * equals iterated mutual-best matching (total 5-tuple order — see
     * DistributedGreedy's scaladoc), unrolled here as `rounds` chained
     * MATERIALIZED CTE rounds (DuckDB inlines multiply-referenced CTEs
-    * otherwise, going exponential). If the input needs more rounds than
-    * unrolled, a poison row (-99,-99,-99) is emitted so the driver
-    * reports a loud mismatch instead of a silent false pass. */
-  def greedyClustersSql(srcGlob: String, rounds: Int = 24): String = {
+    * otherwise, going exponential). The engine completes ANY depth (60
+    * distributed rounds + a sequential driver finish), so the unroll
+    * only bounds what the ORACLE can follow: an input needing more
+    * rounds emits a poison row (-99,-99,-99) — a loud verification
+    * failure on correct engine output, never a silent false pass. 64
+    * rounds ≈ 128-edge staircase chains, far beyond what the deduped
+    * top-k candidate streams produce. */
+  def greedyClustersSql(srcGlob: String, rounds: Int = 64): String = {
     val sort = "sim DESC, dset0, dset1, rec0, rec1"
     val head =
       s"WITH rem0 AS MATERIALIZED (SELECT sim, dset0, dset1, rec0, rec1 FROM read_parquet('$srcGlob'))"
