@@ -152,6 +152,20 @@ object SparkEntry {
         dumpAux("linkage_greedy_pairs",
           Linkage.candidatePairs(corpus(s), linkParams, col("dsetId"))))
     }),
+    "linkage_eval" -> ((s, _) => {
+      // the north-rule metric as an operator: pairwise precision/
+      // recall/F1 of the full pipeline's clusters vs the corpus's
+      // planted entity labels, computed from group sizes only (no pair
+      // materialization — see solve.Evaluation). Truth and clusters
+      // are tapped so the oracle recomputes the same pair-counting
+      // identity in SQL.
+      val pages = corpus(s)
+      val truth = dumpAux("linkage_eval_truth", pages.select(
+        col("dsetId"), Linkage.recIdCol(col("url")).as("recId"), col("entityId")))
+      val clusters = dumpAux("linkage_eval_clusters",
+        Linkage.clusters(Linkage.candidatePairs(pages, linkParams, col("dsetId")), linkParams))
+      graft.solve.Evaluation.pairwise(truth, clusters)
+    }),
 
     // ---- engine surface with DuckDB oracles (SURVEY §2.8 checklist) ----
     "q_agg" -> ((s, dir) => {
@@ -651,6 +665,30 @@ object SparkEntry {
     "minhash_bands" -> graft.oracle.OracleSqlGen.minhashBandsSql(
       block.MinhashParams(), graft.encode.ClkParams()),
     "linkage_greedy_clusters" -> graft.oracle.OracleSqlGen.greedyClustersSql(
-      s"$oracleAuxDir/linkage_greedy_pairs/*.parquet")
+      s"$oracleAuxDir/linkage_greedy_pairs/*.parquet"),
+    "linkage_eval" ->
+      s"""WITH t AS (SELECT * FROM read_parquet('$oracleAuxDir/linkage_eval_truth/*.parquet')),
+        | c AS (SELECT * FROM read_parquet('$oracleAuxDir/linkage_eval_clusters/*.parquet')),
+        | j AS (SELECT t."dsetId", t."recId", t."entityId",
+        |   coalesce(c."clusterId",
+        |     xor((CAST(t."dsetId" AS BIGINT) + 1) << 56, t."recId")) AS cid
+        |   FROM t LEFT JOIN c ON t."dsetId" = c."dsetId" AND t."recId" = c."recId"),
+        | p AS (SELECT coalesce(sum((n * (n - 1)) // 2), 0) AS pred_pairs
+        |   FROM (SELECT count(*) AS n FROM j GROUP BY cid)),
+        | tr AS (SELECT coalesce(sum((n * (n - 1)) // 2), 0) AS truth_pairs
+        |   FROM (SELECT count(*) AS n FROM j GROUP BY "entityId")),
+        | tpc AS (SELECT coalesce(sum((n * (n - 1)) // 2), 0) AS tp
+        |   FROM (SELECT count(*) AS n FROM j GROUP BY cid, "entityId")),
+        | m AS (SELECT CAST(tp AS BIGINT) AS tp, CAST(pred_pairs AS BIGINT) AS pred_pairs,
+        |   CAST(truth_pairs AS BIGINT) AS truth_pairs FROM tpc, p, tr),
+        | r AS (SELECT *,
+        |   CASE WHEN pred_pairs = 0 THEN CAST(0 AS DOUBLE)
+        |        ELSE CAST(tp AS DOUBLE) / pred_pairs END AS "precision",
+        |   CASE WHEN truth_pairs = 0 THEN CAST(0 AS DOUBLE)
+        |        ELSE CAST(tp AS DOUBLE) / truth_pairs END AS "recall" FROM m)
+        | SELECT tp, pred_pairs, truth_pairs, "precision", "recall",
+        |   CASE WHEN "precision" + "recall" = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+        |        ELSE CAST(2 AS DOUBLE) * "precision" * "recall" / ("precision" + "recall") END AS f1
+        | FROM r""".stripMargin
   )
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.solve.Evaluation
+
+/** solve.Evaluation: the group-size pair-counting identity must agree
+  * with a brute-force materialized-pair computation (the test-only
+  * [[Greedy.pairwiseF1]] path) on random clusterings, and handle the
+  * edge semantics (unmatched singletons, empty clusters). */
+class EvaluationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def bruteF1(truth: Seq[(Int, Long, Long)], pred: Seq[(Int, Long, Long)]): (Long, Long, Long) = {
+    def pairsOf(groups: Map[Long, Seq[(Int, Long)]]): Set[((Int, Long), (Int, Long))] =
+      groups.values.flatMap { ms =>
+        val s = ms.sorted
+        for (i <- s.indices; j <- (i + 1) until s.size) yield (s(i), s(j))
+      }.toSet
+    val predByCluster = pred.groupBy(_._3).map { case (k, v) => k -> v.map(r => (r._1, r._2)) }
+    val truthByEntity = truth.groupBy(_._3).map { case (k, v) => k -> v.map(r => (r._1, r._2)) }
+    val pp = pairsOf(predByCluster)
+    val tp = pairsOf(truthByEntity)
+    ((pp intersect tp).size.toLong, pp.size.toLong, tp.size.toLong)
+  }
+
+  test("pairwise metrics equal brute-force pair sets on random clusterings") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val n = 80 + rnd.nextInt(120)
+      val truth = (0 until n).map(i => (i % 2, i.toLong, rnd.nextInt(20).toLong))
+      // predicted clusters over a random subset (the rest unmatched)
+      val pred = truth.filter(_ => rnd.nextDouble() < 0.8)
+        .map { case (d, r, _) => (d, r, rnd.nextInt(25).toLong) }
+      val truthDf = truth.toDF("dsetId", "recId", "entityId")
+      val predDf = pred.toDF("dsetId", "recId", "clusterId")
+      val row = Evaluation.pairwise(truthDf, predDf).collect().head
+      val (tp, pp, tpairs) = bruteF1(truth, pred)
+      assert(row.getLong(0) == tp, s"trial $trial tp")
+      assert(row.getLong(1) == pp, s"trial $trial pred_pairs")
+      assert(row.getLong(2) == tpairs, s"trial $trial truth_pairs")
+      val precision = if (pp == 0) 0.0 else tp.toDouble / pp
+      val recall = if (tpairs == 0) 0.0 else tp.toDouble / tpairs
+      val f1 = if (precision + recall == 0.0) 0.0 else 2 * precision * recall / (precision + recall)
+      assert(row.getDouble(3) == precision && row.getDouble(4) == recall && row.getDouble(5) == f1)
+    }
+  }
+
+  test("unmatched records are singletons: zero predicted pairs, recall misses counted") {
+    val truth = Seq((0, 1L, 100L), (1, 2L, 100L), (0, 3L, 200L), (1, 4L, 200L))
+    // matcher only found the first entity
+    val pred = Seq((0, 1L, 7L), (1, 2L, 7L))
+    val row = Evaluation.pairwise(truth.toDF("dsetId", "recId", "entityId"),
+      pred.toDF("dsetId", "recId", "clusterId")).collect().head
+    assert(row.getLong(0) == 1 && row.getLong(1) == 1 && row.getLong(2) == 2)
+    assert(row.getDouble(3) == 1.0 && row.getDouble(4) == 0.5)
+  }
+
+  test("perfect clustering scores f1 = 1.0") {
+    val truth = Seq((0, 1L, 5L), (1, 2L, 5L), (0, 3L, 6L), (1, 4L, 6L))
+    val pred = Seq((0, 1L, 50L), (1, 2L, 50L), (0, 3L, 60L), (1, 4L, 60L))
+    val row = Evaluation.pairwise(truth.toDF("dsetId", "recId", "entityId"),
+      pred.toDF("dsetId", "recId", "clusterId")).collect().head
+    assert(row.getDouble(5) == 1.0)
+  }
+
+  test("empty clusters table: all singletons, zero precision/recall/f1") {
+    val truth = Seq((0, 1L, 5L), (1, 2L, 5L))
+    val pred = Seq.empty[(Int, Long, Long)]
+    val row = Evaluation.pairwise(truth.toDF("dsetId", "recId", "entityId"),
+      pred.toDF("dsetId", "recId", "clusterId")).collect().head
+    assert(row.getLong(0) == 0 && row.getLong(1) == 0 && row.getLong(2) == 1)
+    assert(row.getDouble(3) == 0.0 && row.getDouble(4) == 0.0 && row.getDouble(5) == 0.0)
+  }
+}
