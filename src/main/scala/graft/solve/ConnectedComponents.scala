@@ -149,8 +149,12 @@ object ConnectedComponents {
     import spark.implicits._
     // cache: the pair stream is scanned by BOTH vertex projections, the
     // edge projection, and CC's initial distinct+count — without this a
-    // lazily-derived input (the whole scoring pipeline) recomputes 3-4×
-    val pairs = pairs0.cache()
+    // lazily-derived input (the whole scoring pipeline) recomputes 3-4×.
+    // Respect a caller's existing persist (Linkage.run caches the same
+    // frame) instead of triggering the double-cache warning.
+    val pairs =
+      if (pairs0.storageLevel == org.apache.spark.storage.StorageLevel.NONE) pairs0.cache()
+      else pairs0
     val nodeId0 = Encoding.nodeIdCol(col("dset0"), col("rec0"))
     val nodeId1 = Encoding.nodeIdCol(col("dset1"), col("rec1"))
     val vertices = pairs.select(col("dset0").as("dsetId"), col("rec0").as("recId"))
