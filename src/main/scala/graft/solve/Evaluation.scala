@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   *   true positives  TP = Σ_ce C(n_ce, 2)
   *
   * (every within-cell pair is within one cluster AND one entity, and
-  * intersection cells partition both sides). Three hash aggregations
-  * with map-side partial combine — the shuffle carries one row per
-  * cluster/entity/cell, so a 10^12-record corpus evaluates in one pass
-  * with no pair explosion. This is the standard pair-counting identity
-  * behind the Rand index family.
+  * intersection cells partition both sides). A SINGLE record-level
+  * hash aggregation with map-side partial combine produces the cell
+  * counts; both marginals derive from the cells (n_c = Σ_e n_ce,
+  * n_e = Σ_c n_ce), so a 10^12-record corpus is scanned once, the
+  * shuffle carries one row per cell, and no pairs are ever
+  * materialized. This is the standard pair-counting identity behind
+  * the Rand index family.
   *
   * Records the matcher left unclustered count as singletons (zero
   * pairs on the predicted side, but their truth pairs still count as
@@ -51,11 +53,17 @@ object Evaluation {
       .join(clusters, Seq("dsetId", "recId"), "left")
       .withColumn("cid", coalesce(col("clusterId"),
         ConnectedComponents.Encoding.nodeIdCol(col("dsetId"), col("recId"))))
-    val pred = joined.groupBy("cid").agg(count(lit(1)).as("n"))
+    // ONE record-level aggregation: the (cluster, entity) cell counts.
+    // Both marginals follow from the cells (n_c = Σ_e n_ce, n_e =
+    // Σ_c n_ce), so the record-scale join is scanned once and the
+    // three pair sums run over the far smaller cell table (cached:
+    // it is consumed by three aggregation branches).
+    val cells = joined.groupBy("cid", "entityId").agg(count(lit(1)).as("n")).cache()
+    val pred = cells.groupBy("cid").agg(sum(col("n")).as("n"))
       .agg(coalesce(sum(c2(col("n"))), lit(0L)).as("pred_pairs"))
-    val tru = joined.groupBy("entityId").agg(count(lit(1)).as("n"))
+    val tru = cells.groupBy("entityId").agg(sum(col("n")).as("n"))
       .agg(coalesce(sum(c2(col("n"))), lit(0L)).as("truth_pairs"))
-    val tp = joined.groupBy("cid", "entityId").agg(count(lit(1)).as("n"))
+    val tp = cells
       .agg(coalesce(sum(c2(col("n"))), lit(0L)).as("tp"))
     tp.crossJoin(pred).crossJoin(tru)
       .withColumn("precision",
