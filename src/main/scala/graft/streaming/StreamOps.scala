@@ -75,6 +75,74 @@ object StreamOps {
     enc.map(r => graft.sim.ClkRow(r.recId, r.clk, r.pop)).collect()
   }
 
+  case class BandEntry(bandKey: Long, docId: Long)
+  case class BucketState(ids: Array[Long], overflow: Long)
+  case class NearDupHit(docId: Long, priorId: Long, bandKey: Long)
+
+  /** Stateful NEAR-dup-on-entry: streaming minhash-LSH banding — the
+    * ingestion-time analogue of [[graft.ops.Dedup.minhashLsh]]'s
+    * banding stage. Each arriving document's band keys are matched
+    * against the per-band bucket state; every (new doc, retained prior
+    * member) pair is emitted as a candidate. Downstream, candidates
+    * get the SAME exact-Jaccard verification as the batch path (the
+    * emitted pair stream is exactly the batch `bucketPairs` pair set
+    * while buckets stay under `maxPerBucket` — proven by parity spec).
+    *
+    * State is BOUNDED by contract: a bucket retains at most
+    * `maxPerBucket` member ids; later members of an overflowing bucket
+    * (a boilerplate cluster at web scale) still emit pairs against the
+    * retained sample — enough to route them into the same cluster via
+    * the transitive-closure tail — and the overflow count is kept in
+    * state for observability. The batch path's exact hot-bucket
+    * triangle tiling has no bounded-state streaming equivalent; the
+    * retained-sample semantics is the honest streaming trade and is
+    * documented here rather than hidden.
+    *
+    * Same-key duplicates: one doc can land in a bucket via two bands
+    * whose keys collide; pairs may then be emitted once per shared
+    * band, matching batch banding — callers `.distinct()` before
+    * verification exactly as the batch callers do. */
+  def nearDupCandidatesOnEntry(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      mh: graft.block.MinhashParams = graft.block.MinhashParams(),
+      clk: graft.encode.ClkParams = graft.encode.ClkParams(),
+      maxPerBucket: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(maxPerBucket >= 1)
+    val entries = docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        graft.block.Blocking
+          .minhashBandKeys(graft.encode.ClkEncoder.ngramHashes(text, clk), mh)
+          .map(k => BandEntry(k, id))
+      }
+    entries.groupByKey(_.bandKey)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (band: Long, rows: Iterator[BandEntry], state: GroupState[BucketState]) =>
+          val st = state.getOption.getOrElse(BucketState(Array.empty, 0L))
+          var ids = st.ids
+          var overflow = st.overflow
+          val out = List.newBuilder[NearDupHit]
+          rows.foreach { e =>
+            var i = 0
+            var known = false
+            while (i < ids.length) {
+              if (ids(i) == e.docId) known = true
+              else out += NearDupHit(e.docId, ids(i), band)
+              i += 1
+            }
+            if (!known) {
+              if (ids.length < maxPerBucket) ids = ids :+ e.docId
+              else overflow += 1
+            }
+          }
+          state.update(BucketState(ids, overflow))
+          out.result().iterator
+      }.toDF()
+  }
+
   case class SeenState(count: Long)
   case class SeenOut(fingerprint: Long, occurrence: Long, firstSeen: Boolean)
 

@@ -116,4 +116,60 @@ class StreamingSpec extends AnyFunSuite {
     // first occurrence flagged for every fingerprint at least once
     assert(Set(1L, 2L, 3L, 4L).forall(fp => rows.exists(r => r._1 == fp && r._3)))
   }
+
+  test("streaming near-dup-on-entry emits exactly the batch banding pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndocs").toString
+    // corpus with planted 2-variant duplicates, split across two
+    // micro-batch files so pairs must cross batch boundaries via state
+    val docs = gen.Corpus.labeledPages(spark, gen.Corpus.Params(entities = 30L, seed = 77L))
+      .select(xxhash64(col("url")).as("doc_id"), col("text"))
+    docs.where(pmod(col("doc_id"), lit(2)) === 0).write.parquet(s"$dir/batch=0")
+    docs.where(pmod(col("doc_id"), lit(2)) =!= 0).write.parquet(s"$dir/batch=1")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/batch=*")
+    val q = StreamOps.nearDupCandidatesOnEntry(stream, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory").queryName("neardup_entry")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("neardup_entry").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .toSet
+    // batch oracle: same-band-key pairs over the full corpus
+    val mh = block.MinhashParams()
+    val clk = graft.encode.ClkParams()
+    val banded = docs.as[(Long, String)].collect().flatMap { case (id, text) =>
+      block.Blocking.minhashBandKeys(graft.encode.ClkEncoder.ngramHashes(text, clk), mh)
+        .map(k => (k, id))
+    }
+    val want = banded.groupBy(_._1).values.flatMap { members =>
+      val ids = members.map(_._2).distinct
+      for (i <- ids.indices; j <- (i + 1) until ids.length)
+        yield (math.min(ids(i), ids(j)), math.max(ids(i), ids(j)))
+    }.toSet
+    assert(got == want, s"stream pairs ${got.size} vs batch ${want.size}")
+    assert(want.nonEmpty, "corpus must plant near-dup band collisions")
+  }
+
+  test("near-dup-on-entry bounds bucket state and still routes overflow docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotdocs").toString
+    // 10 identical documents: every band bucket is a 10-member hot
+    // bucket; cap at 3 retained members
+    val hot = (0 until 10).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    hot.write.parquet(s"$dir/batch=0")
+    val stream = spark.readStream.schema(hot.schema).parquet(s"$dir/batch=*")
+    val q = StreamOps.nearDupCandidatesOnEntry(stream, "doc_id", "text", maxPerBucket = 3)
+      .writeStream.outputMode("append").format("memory").queryName("neardup_hot")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.table("neardup_hot").select("docId", "priorId").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every doc beyond the retained sample still pairs with ALL 3
+    // retained members (enough for the CC tail to cluster them)...
+    val retained = pairs.map(_._2).distinct.sorted
+    assert(retained.length == 3, s"retained ${retained.toSeq}")
+    val dids = pairs.map(_._1).toSet
+    assert((0L until 10L).toSet.diff(retained.toSet).subsetOf(dids))
+    // ...and the pair count stays bounded by n*cap, not n^2/2
+    assert(pairs.length <= 10 * 3)
+  }
 }
