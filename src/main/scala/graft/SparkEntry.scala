@@ -362,6 +362,19 @@ object SparkEntry {
           (id, ops.TextOps.docFingerprint(txt), ops.TextOps.simhash(txt))
         }.toDF("doc_id", "fingerprint", "simhash")
     }),
+    "text_sketch" -> ((s, dir) => {
+      // bottom-k sketch of the word-3-gram hashes (containment-check
+      // signature), exploded to scalar rows; oracle recomputes the
+      // gram hashes in SQL (OracleSqlGen.textSketchSql) — same ASCII
+      // parity caveat as text_fingerprint
+      import s.implicits._
+      asciiAsserted(t(s, dir, "documents"), "text_sketch")
+        .select($"doc_id", $"text").as[(Long, String)]
+        .map { case (id, txt) => (id, ops.TextOps.bottomKSketch(txt)) }
+        .toDF("doc_id", "sketch")
+        .select(col("doc_id"), posexplode(col("sketch")).as(Seq("idx", "gram_hash")))
+        .select(col("doc_id"), col("idx").cast("long").as("idx"), col("gram_hash"))
+    }),
     "multimodal_features" -> ((s, dir) => {
       // binary media column derived from text bytes (no codecs in this
       // sandbox — decode is stubbed, plumbing is real; see ops.Multimodal)
@@ -662,6 +675,7 @@ object SparkEntry {
     // (FNV-1a + splitmix64 over HUGEINT limb arithmetic) — see
     // graft.oracle.OracleSqlGen for the technique and parity caveats
     "text_fingerprint" -> graft.oracle.OracleSqlGen.textFingerprintSql(),
+    "text_sketch" -> graft.oracle.OracleSqlGen.textSketchSql(),
     "minhash_bands" -> graft.oracle.OracleSqlGen.minhashBandsSql(
       block.MinhashParams(), graft.encode.ClkParams()),
     "linkage_greedy_clusters" -> graft.oracle.OracleSqlGen.greedyClustersSql(

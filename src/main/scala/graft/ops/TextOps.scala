@@ -116,6 +116,7 @@ object TextOps {
     * (graft.oracle.OracleSqlGen) and these kernels cannot drift. */
   final val FingerprintSeed = 0xf19eL
   final val SimhashSeed = 0x51a54L
+  final val SketchSeed = 0x57e7c4L
 
   /** 64-bit rolling-hash document fingerprint (order-sensitive: a
     * content hash over the token stream). */
@@ -135,7 +136,7 @@ object TextOps {
   /** Winnowing-style bottom-m sketch of token 3-gram hashes: a compact,
     * order-insensitive near-dup signature (the min-k analogue of
     * MinHash, good for containment checks). */
-  def bottomKSketch(text: String, m: Int = 16, seed: Long = 0x57e7c4L): Array[Long] = {
+  def bottomKSketch(text: String, m: Int = 16, seed: Long = SketchSeed): Array[Long] = {
     val grams = graft.encode.ClkEncoder.wordNgramHashes(text, 3, seed)
     if (grams.isEmpty) Array.empty
     else {

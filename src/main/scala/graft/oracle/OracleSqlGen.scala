@@ -164,6 +164,18 @@ object OracleSqlGen {
        |SELECT doc_id, $fp AS fingerprint, $simhash AS simhash FROM wh""".stripMargin
   }
 
+  /** Oracle for `text_sketch`: TextOps.bottomKSketch — the bottom-m of
+    * the distinct word-3-gram hashes in SIGNED ascending order (Scala
+    * sorts Long signed; BIGINT `list_sort` matches), exploded to
+    * (doc_id, idx, gram_hash) scalar rows. */
+  def textSketchSql(m: Int = 16, seed: Long = graft.ops.TextOps.SketchSeed): String = {
+    val g = new Gen
+    s"""WITH wh AS (SELECT doc_id, ${g.wordHashes("text", seed)} AS wl FROM documents),
+       | s AS (SELECT doc_id, list_sort(list_distinct(${g.grams3("wl", seed)})) AS sk FROM wh)
+       |SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, sk[i] AS gram_hash
+       |FROM s, unnest(range(1, least(length(sk), $m) + 1)) AS t(i)""".stripMargin
+  }
+
   /** Oracle for `minhash_bands`: word-3-gram hashes → 96-permutation
     * minhash signature (signed minima, matching Scala Long compare) →
     * 32 band-key combine-folds. The |grams| × 96 mix64 evaluations run
