@@ -33,6 +33,10 @@ object Evaluation {
 
   /** Pairwise precision/recall/F1 of a cluster assignment vs truth.
     *
+    * Evaluates EAGERLY (the jobs run inside this call) — the one-row
+    * result gains nothing from laziness and eagerness lets the method
+    * release its internal cache before returning.
+    *
     * @param truth (dsetId, recId, entityId) — every record in scope
     * @param clusters (dsetId, recId, clusterId) — matcher output;
     *                 records absent here count as singletons
@@ -40,10 +44,11 @@ object Evaluation {
     */
   def pairwise(truth: DataFrame, clusters: DataFrame): DataFrame = {
     // C(n,2) in pure integer math: n*(n-1) is even, so a right shift is
-    // exact at any n — Spark's `/` is double division, which silently
-    // rounds once products pass 2^53 (real cluster sizes at corpus
-    // scale can get there; a hot boilerplate cluster of 10^8 already
-    // does).
+    // exact while the product fits a Long — i.e. to n ≈ 3.0e9 members
+    // in ONE cluster/entity/cell, vs n ≈ 9.5e7 where Spark's
+    // double-division `/` starts rounding (a hot boilerplate cluster
+    // of 10^8 already crosses that). Beyond 3e9 ANSI mode fails loudly
+    // with an overflow error rather than returning a rounded count.
     val c2 = (n: org.apache.spark.sql.Column) => shiftright(n * (n - 1), 1)
     // Unmatched records become singleton clusters keyed by their own
     // node id. Cluster ids are node ids of MEMBER records (CC minima /
@@ -56,26 +61,33 @@ object Evaluation {
     // ONE record-level aggregation: the (cluster, entity) cell counts.
     // Both marginals follow from the cells (n_c = Σ_e n_ce, n_e =
     // Σ_c n_ce), so the record-scale join is scanned once and the
-    // three pair sums run over the far smaller cell table (cached:
-    // it is consumed by three aggregation branches).
+    // three pair sums run over the far smaller cell table. The cells
+    // are cached for the three aggregation branches and EAGERLY
+    // consumed: a metrics operator returning one row has nothing to
+    // gain from laziness, and eager evaluation lets this method
+    // unpersist its cache before returning (a lazy result would pin
+    // one cell table in executor storage per pairwise() call, leaking
+    // across a tuning sweep).
     val cells = joined.groupBy("cid", "entityId").agg(count(lit(1)).as("n")).cache()
-    val pred = cells.groupBy("cid").agg(sum(col("n")).as("n"))
-      .agg(coalesce(sum(c2(col("n"))), lit(0L)).as("pred_pairs"))
-    val tru = cells.groupBy("entityId").agg(sum(col("n")).as("n"))
-      .agg(coalesce(sum(c2(col("n"))), lit(0L)).as("truth_pairs"))
-    val tp = cells
-      .agg(coalesce(sum(c2(col("n"))), lit(0L)).as("tp"))
-    tp.crossJoin(pred).crossJoin(tru)
-      .withColumn("precision",
-        when(col("pred_pairs") === 0, lit(0.0))
-          .otherwise(col("tp").cast("double") / col("pred_pairs")))
-      .withColumn("recall",
-        when(col("truth_pairs") === 0, lit(0.0))
-          .otherwise(col("tp").cast("double") / col("truth_pairs")))
-      .withColumn("f1",
-        when(col("precision") + col("recall") === 0.0, lit(0.0))
-          .otherwise(lit(2.0) * col("precision") * col("recall")
-            / (col("precision") + col("recall"))))
-      .select("tp", "pred_pairs", "truth_pairs", "precision", "recall", "f1")
+    try {
+      def firstLong(df: DataFrame): Long = df.collect().head.getLong(0)
+      val predPairs = firstLong(cells.groupBy("cid").agg(sum(col("n")).as("n"))
+        .agg(coalesce(sum(c2(col("n"))), lit(0L))))
+      val truthPairs = firstLong(cells.groupBy("entityId").agg(sum(col("n")).as("n"))
+        .agg(coalesce(sum(c2(col("n"))), lit(0L))))
+      val tp = firstLong(cells.agg(coalesce(sum(c2(col("n"))), lit(0L))))
+      // same IEEE op order as the DuckDB oracle's CASE/CAST arithmetic
+      val precision = if (predPairs == 0) 0.0 else tp.toDouble / predPairs
+      val recall = if (truthPairs == 0) 0.0 else tp.toDouble / truthPairs
+      val f1 = if (precision + recall == 0.0) 0.0
+        else 2.0 * precision * recall / (precision + recall)
+      val spark = truth.sparkSession
+      import spark.implicits._
+      Seq((tp, predPairs, truthPairs, precision, recall, f1))
+        .toDF("tp", "pred_pairs", "truth_pairs", "precision", "recall", "f1")
+    } finally {
+      cells.unpersist()
+      ()
+    }
   }
 }

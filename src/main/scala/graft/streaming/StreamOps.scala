@@ -92,8 +92,12 @@ object StreamOps {
     * `maxPerBucket` member ids; later members of an overflowing bucket
     * (a boilerplate cluster at web scale) still emit pairs against the
     * retained sample — enough to route them into the same cluster via
-    * the transitive-closure tail — and the overflow count is kept in
-    * state for observability. The batch path's exact hot-bucket
+    * the transitive-closure tail — and an overflow count is kept in
+    * state for observability. The counter counts band-entry ARRIVALS
+    * beyond the retained sample (a doc re-arriving, or reaching one
+    * bucket via several colliding bands, counts each time), not
+    * distinct documents — counting distinct docs would need unbounded
+    * per-bucket id state, the exact thing the cap exists to avoid. The batch path's exact hot-bucket
     * triangle tiling has no bounded-state streaming equivalent; the
     * retained-sample semantics is the honest streaming trade and is
     * documented here rather than hidden.

@@ -161,15 +161,22 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.outputMode("append").format("memory").queryName("neardup_hot")
       .start()
     q.processAllAvailable(); q.stop()
-    val pairs = spark.table("neardup_hot").select("docId", "priorId").distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    // every doc beyond the retained sample still pairs with ALL 3
-    // retained members (enough for the CC tail to cluster them)...
-    val retained = pairs.map(_._2).distinct.sorted
-    assert(retained.length == 3, s"retained ${retained.toSeq}")
-    val dids = pairs.map(_._1).toSet
-    assert((0L until 10L).toSet.diff(retained.toSet).subsetOf(dids))
-    // ...and the pair count stays bounded by n*cap, not n^2/2
-    assert(pairs.length <= 10 * 3)
+    val rows = spark.table("neardup_hot").select("bandKey", "docId", "priorId")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Per band bucket (WHICH 3 members are retained depends on the
+    // unspecified within-group row order, so assert per-band counts,
+    // which are order-invariant): 10 identical docs at cap 3 emit
+    // 1 + 2 + 7*3 = 24 pairs — the first arrival emits none, the next
+    // two pair against the retained prefix, the other seven each pair
+    // against exactly the 3 retained members.
+    val byBand = rows.groupBy(_._1)
+    assert(byBand.nonEmpty)
+    byBand.foreach { case (band, ps) =>
+      assert(ps.length == 24, s"band $band: ${ps.length} pairs")
+      assert(ps.map(_._3).distinct.length == 3, s"band $band retained")
+      assert(ps.map(_._2).distinct.length == 9, s"band $band emitters")
+      // every doc is reachable in the band's pair graph (CC can merge)
+      assert(ps.flatMap(p => Seq(p._2, p._3)).distinct.length == 10)
+    }
   }
 }
