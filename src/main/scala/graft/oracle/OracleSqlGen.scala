@@ -5,8 +5,9 @@ import graft.core.Hashing
 /** DuckDB SQL generators that reproduce graft's 64-bit hash kernels
   * (`graft.core.Hashing`: FNV-1a 64 + splitmix64 finalizer) *bit-exactly*
   * in portable SQL, so the driver's DuckDB oracle can hash-verify the
-  * three queries whose kernels were previously "not SQL-expressible":
-  * `text_fingerprint`, `minhash_bands` and `linkage_greedy_clusters`.
+  * queries whose kernels were previously "not SQL-expressible":
+  * `text_fingerprint`, `text_sketch`, `minhash_bands` and
+  * `linkage_greedy_clusters`.
   *
   * Technique:
   *   - 64-bit *wrapping* multiply/add don't exist in DuckDB (integer
