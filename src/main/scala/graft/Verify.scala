@@ -34,6 +34,12 @@ object Verify {
     wipe(SparkEntry.oracleAuxDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // per-query session hygiene (same contract as graft.Bench):
+      // operators returning cached frames and solvers' localCheckpoint
+      // blocks must not accumulate storage across the 36-query session
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -31,6 +31,21 @@ object BitOps {
     if (denom == 0) 0.0 else 2.0 * andPopcountBytes(a, b) / denom
   }
 
+  /** Dot product of two float arrays accumulated left-to-right in
+    * double over the common prefix — the exact arithmetic the former
+    * `Ann.dotUdf` used (and bit-identical to DuckDB's
+    * `list_dot_product(DOUBLE[])` naive accumulation), operating
+    * directly on Catalyst `ArrayData` so codegen needs no
+    * serde-to-Seq per row. */
+  def dotFloatArrays(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
   def xorPopcountBytes(a: Array[Byte], b: Array[Byte]): Int = {
     val n = math.min(a.length, b.length)
     var s = 0
@@ -82,6 +97,29 @@ case class DiceBinary(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Exact float-vector dot product as a native codegen expression —
+  * the candidate-verify scorer of the ANN/embedding paths
+  * ([[graft.ops.Ann]], [[graft.ops.Dedup.embeddingNearDup]]). Replaces
+  * the former Scala UDF: same double left-to-right accumulation over
+  * the common prefix, but evaluated inside whole-stage codegen with no
+  * per-row Seq[Float] serde. */
+case class DotProductFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_float"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    BitOps.dotFloatArrays(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.BitOps.dotFloatArrays($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductFloat =
+    copy(left = l, right = r)
+}
+
 /** SMC scalar over BinaryType CLKs (S6 companion of [[DiceBinary]]). */
 case class SmcBinary(left: Expression, right: Expression, bits: Int)
     extends BinaryExpression {
@@ -105,6 +143,7 @@ object BitFunctions {
   def popcount_bin(c: Column): Column = toColumn(PopcountBinary(toExpression(c)))
   def dice_bin(a: Column, b: Column): Column = toColumn(DiceBinary(toExpression(a), toExpression(b)))
   def smc_bin(a: Column, b: Column, bits: Int): Column = toColumn(SmcBinary(toExpression(a), toExpression(b), bits))
+  def dot_float(a: Column, b: Column): Column = toColumn(DotProductFloat(toExpression(a), toExpression(b)))
 
   /** Register `popcount_bin` / `dice_bin` / `smc_bin` for SQL queries. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -44,15 +44,13 @@ object Ann {
     key
   }
 
-  /** Exact dot product of two equal-length float vectors, accumulated
-    * in double left-to-right (deterministic). */
-  val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var s = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  }
+  /** Exact dot product of two float-vector columns, accumulated in
+    * double left-to-right (deterministic) — a native codegen
+    * expression ([[graft.functions.DotProductFloat]]), not a UDF, so
+    * the candidate-verify joins stay inside whole-stage codegen with
+    * no per-row Seq[Float] serde. */
+  def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.BitFunctions.dot_float(a, b)
 
   private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -148,13 +146,6 @@ object Ann {
       .where(col("rank") <= k)
   }
 
-  /** IVF (inverted-file) top-k: a seeded KMeans coarse quantizer
-    * partitions the corpus into `nLists` cells; each query probes its
-    * `nProbe` nearest centroids and scores only those cells — the
-    * classic IVF-Flat layout. Centroids are broadcast (tiny); the cell
-    * assignment is one shuffle; at scale the corpus would be
-    * partitioned/bucketed by cell id so probes are partition-pruned
-    * scans. */
   /** Fit the IVF coarse quantizer (seeded KMeans) on a bounded sample
     * of the unit vectors. At 100 TB the quantizer is fit ONCE on a
     * sample and the centroids persisted (and the corpus bucketed by
@@ -209,6 +200,25 @@ object Ann {
     }
   }
 
+  /** IVF-Flat top-k.
+    *
+    * With `centroidsDir` set (the at-scale default), BOTH index
+    * artifacts persist there: the centroids ([[fitOrLoadCentroids]])
+    * AND the corpus itself, written once as Parquet '''partitioned by
+    * cell id''' — so a probe reads ONLY the `nProbe` probed cells'
+    * partition directories (partition pruning by construction: the
+    * probed dirs are enumerated, nothing else is listed or opened).
+    * At 100 TB that turns each query batch from a full corpus scan +
+    * shuffle into a pruned scan of ~nProbe/nLists of the data with a
+    * broadcast-able query side. The cell layout is keyed like the
+    * centroids (version, nLists, seed) — regenerate (delete the dir)
+    * when the corpus changes (callers key the dir by a corpus content
+    * signature, see `SparkEntry`).
+    *
+    * Without a dir, assignment happens in-flight (small/ad-hoc
+    * corpora); the in-flight path evaluates eagerly and releases its
+    * internal cache before returning (returned frame is cached —
+    * callers unpersist). */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -219,18 +229,23 @@ object Ann {
       nProbe: Int = 4,
       seed: Long = 0x1ffL,
       centroids: Option[Array[Array[Float]]] = None,
-      /** persisted-quantizer dir — see [[fitOrLoadCentroids]]; ignored
-        * when `centroids` is supplied directly. */
+      /** persisted-index dir — see scaladoc; ignored when `centroids`
+        * is supplied directly (no cell store without a dir). */
       centroidsDir: Option[String] = None,
       tap: Dedup.Tap = Dedup.noTap): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val corpusN = normalized(corpus, idCol, vecCol).cache()
+    val useStore = centroids.isEmpty && centroidsDir.isDefined
+    // in-flight path: one cached normalization feeds fit + assignment
+    val corpusN = if (useStore) None else Some(normalized(corpus, idCol, vecCol).cache())
     // coarse quantizer: precomputed centroids > persisted fit > fresh fit
     val cents = centroids.getOrElse(
       centroidsDir match {
-        case Some(d) => fitOrLoadCentroids(corpusN, nLists, seed, d)
-        case None => fitCentroids(corpusN, nLists, seed)
+        // the lazily-built normalization is only SCANNED when no
+        // persisted snapshot exists (fit-once semantics)
+        case Some(d) => fitOrLoadCentroids(
+          corpusN.getOrElse(normalized(corpus, idCol, vecCol)), nLists, seed, d)
+        case None => fitCentroids(corpusN.get, nLists, seed)
       })
     val cBc = spark.sparkContext.broadcast(cents)
 
@@ -250,20 +265,57 @@ object Ann {
       }.sortBy { case (c, dot) => (-dot, c) }.take(n).map(_._1)
     }
 
-    val assigned = corpusN.as[(Long, Seq[Float])]
-      .map { case (id, v) => (id, v, nearestCells(v.toArray, 1).head) }
-      .toDF("id", "unit", "cell")
     val qAssigned = normalized(queries, idCol, vecCol).as[(Long, Seq[Float])]
       .flatMap { case (id, v) => nearestCells(v.toArray, nProbe).map(c => (id, v, c)) }
       .toDF("query_id", "qunit", "cell")
+
+    val assigned: DataFrame = centroidsDir match {
+      case Some(d) if useStore =>
+        val cellsPath = s"$d/ivf-cells-v1-k$nLists-s${java.lang.Long.toHexString(seed)}.parquet"
+        val hp = new org.apache.hadoop.fs.Path(cellsPath)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(cellsPath, "_SUCCESS"))) {
+          // build once: assign every corpus vector to its cell and lay
+          // the corpus out cell-partitioned next to the centroids
+          normalized(corpus, idCol, vecCol).as[(Long, Seq[Float])]
+            .map { case (id, v) => (id, v, nearestCells(v.toArray, 1).head) }
+            .toDF("id", "unit", "cell")
+            .write.mode("overwrite").partitionBy("cell").parquet(cellsPath)
+        }
+        // probe set: ≤ nLists distinct cells — enumerate exactly those
+        // partition dirs (a probed cell can be corpus-empty → no dir)
+        val probed = qAssigned.select($"cell").distinct().as[Int].collect().sorted
+        val dirs = probed.map(c => s"$cellsPath/cell=$c")
+          .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+        if (dirs.isEmpty)
+          Seq.empty[(Long, Seq[Float], Int)].toDF("id", "unit", "cell")
+        else
+          spark.read.option("basePath", cellsPath).parquet(dirs.toIndexedSeq: _*)
+            .select($"id", $"unit", $"cell")
+      case _ =>
+        corpusN.get.as[(Long, Seq[Float])]
+          .map { case (id, v) => (id, v, nearestCells(v.toArray, 1).head) }
+          .toDF("id", "unit", "cell")
+    }
+
     val scored = tap("cands",
       qAssigned.join(assigned, "cell").select($"query_id", $"id", $"qunit", $"unit"))
-      .withColumn("cosine", dotUdf(col("qunit"), col("unit")))
+      .withColumn("cosine", dot(col("qunit"), col("unit")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("cosine"), asc("id"))
-    scored.select("query_id", "id", "cosine")
+    val result = scored.select("query_id", "id", "cosine")
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
+    corpusN match {
+      case Some(cn) =>
+        // in-flight path: materialize the (small) top-k result so the
+        // corpus cache can be released before returning
+        val out = result.cache()
+        out.count()
+        cn.unpersist()
+        out
+      case None => result
+    }
   }
 
   /** LSH-bucketed top-k: `tables` independent hyperplane tables; probe
@@ -294,7 +346,7 @@ object Ann {
       qKeyed.join(keyed, Seq("table", "bucket"))
         .select(col("query_id"), col("id"), col("qunit"), col("unit"))
         .dropDuplicates("query_id", "id")) // same pair can collide in many tables
-      .withColumn("cosine", dotUdf(col("qunit"), col("unit")))
+      .withColumn("cosine", dot(col("qunit"), col("unit")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("cosine"), asc("id"))
     scored.select("query_id", "id", "cosine")

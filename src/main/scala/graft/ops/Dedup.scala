@@ -64,16 +64,39 @@ object Dedup {
     * EXACTLY the bucket's pair set — no recall loss, just bounded
     * tasks. Cold buckets pass through as a single cell.
     *
+    * '''Star fanout cap''' (`starFanout = Some(m)`): the tiling bounds
+    * pairs per TASK but a bucket's TOTAL pair set stays n·(n−1)/2 — a
+    * boilerplate-template cluster of 10^6 *distinct* near-identical
+    * pages (exact pre-collapse can't fire) would emit ~5·10^11
+    * verification pairs. With the cap, a bucket where the full
+    * triangle exceeds the star (n > 2m+1) switches to '''anchor/star
+    * pairing''': m anchors are chosen deterministically per bucket
+    * (smallest `xxhash64(id, bucket)`, total order) and every member
+    * is paired with every anchor — n·m pairs total, O(m) per record.
+    *
+    * Recall semantics of the cap (the reason it is an opt-in
+    * parameter): two non-anchor members are never verified directly —
+    * they end up in one cluster iff both verify against a common
+    * anchor, so per-bucket CONNECTIVITY through the anchors is
+    * preserved (a genuinely near-identical cluster stays one
+    * component: every member matches every anchor), but an individual
+    * non-anchor/non-anchor pair below-threshold-to-all-anchors is
+    * missed. Dedup needs the cluster connected, not every pair
+    * enumerated — the same trade the linkage path makes with per-left
+    * top-k inside the Dice kernel.
+    *
     * The hot census is collected to the driver like the linkage path's
     * (`Linkage.saltExploded`): hot buckets are few by construction —
     * each carries ≥ √budget distinct rows.
     *
     * Pairs are NOT deduplicated across buckets — callers `.distinct()`.
     */
-  def bucketPairs(bucketed: DataFrame, pairBudget: Long = 4L * 1000 * 1000): DataFrame = {
+  def bucketPairs(bucketed: DataFrame, pairBudget: Long = 4L * 1000 * 1000,
+      starFanout: Option[Int] = None): DataFrame = {
     val spark = bucketed.sparkSession
     import spark.implicits._
     require(pairBudget >= 2, s"pairBudget must be >= 2, got $pairBudget")
+    starFanout.foreach(m => require(m >= 1, s"starFanout must be >= 1, got $m"))
     val base = bucketed.select(col("bucket").cast("long").as("bucket"),
       col("id").cast("long").as("id"))
     // cold buckets take the plain codegen'd equi-self-join (zero typed
@@ -83,16 +106,50 @@ object Dedup {
         .where(col("a.id") < col("b.id"))
         .select(col("a.id").as("id0"), col("b.id").as("id1"))
     val side = math.max(1L, math.sqrt(pairBudget.toDouble).toLong)
-    val hot = base.groupBy($"bucket").agg(count(lit(1)).as("n"))
+    val census = base.groupBy($"bucket").agg(count(lit(1)).as("n"))
       .where($"n" * ($"n" - 1) / 2 > pairBudget)
       .as[(Long, Long)].collect()
-      .map { case (b, n) =>
-        b -> math.max(1L, math.ceil(n.toDouble / side).toLong).toInt
-      }.toMap
-    if (hot.isEmpty) return selfJoin(base)
+    // buckets whose full triangle beats the star stay exactly tiled;
+    // beyond n = 2m+1 the star is strictly smaller AND linear in n
+    val (starCensus, tileCensus) = starFanout match {
+      case Some(m) => census.partition { case (_, n) => n > 2L * m + 1 }
+      case None => (Array.empty[(Long, Long)], census)
+    }
+    val hot = tileCensus.map { case (b, n) =>
+      b -> math.max(1L, math.ceil(n.toDouble / side).toLong).toInt
+    }.toMap
+    val starSet = starCensus.map(_._1).toSet
+    if (hot.isEmpty && starSet.isEmpty) return selfJoin(base)
     val hotB = spark.sparkContext.broadcast(hot)
-    val cold = selfJoin(base.where(!col("bucket").isInCollection(hot.keys.toSeq)))
-    val hotPairs = base.where(col("bucket").isInCollection(hot.keys.toSeq))
+    val excluded = hot.keys.toSeq ++ starSet.toSeq
+    val cold = selfJoin(base.where(!col("bucket").isInCollection(excluded)))
+    val starPairs: Option[DataFrame] = if (starSet.isEmpty) None else {
+      val m = starFanout.get
+      val starRows = base.where(col("bucket").isInCollection(starSet.toSeq))
+      // deterministic anchors: the m smallest (xxhash64(id,bucket), id)
+      // per bucket — a window over hot-bucket rows only (few buckets by
+      // construction; the sort is confined to them). Collected rows =
+      // m × #star-buckets — tiny, broadcast back out.
+      val aw = Window.partitionBy($"bucket")
+        .orderBy(xxhash64($"id", $"bucket"), $"id")
+      val anchors: Map[Long, Array[Long]] = starRows
+        .withColumn("rk", row_number().over(aw))
+        .where($"rk" <= m)
+        .select($"bucket", $"id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).sorted }
+      val anchorsB = spark.sparkContext.broadcast(anchors)
+      Some(starRows.as[(Long, Long)]
+        .mapPartitions { it =>
+          val a = anchorsB.value
+          it.flatMap { case (b, id) =>
+            a(b).iterator.filter(_ != id)
+              .map(x => (math.min(x, id), math.max(x, id)))
+          }
+        }
+        .toDF("id0", "id1"))
+    }
+    val tilePairs: Option[DataFrame] = if (hot.isEmpty) None else Some(
+      base.where(col("bucket").isInCollection(hot.keys.toSeq))
       .as[(Long, Long)]
       .mapPartitions { it =>
         val h = hotB.value
@@ -137,8 +194,8 @@ object Dedup {
             (math.min(x, y), math.max(x, y))))
         }
       }
-      .toDF("id0", "id1")
-    cold.unionByName(hotPairs)
+      .toDF("id0", "id1"))
+    (Seq(cold) ++ tilePairs ++ starPairs).reduce(_ unionByName _)
   }
 
   /** Collapse identical texts to their min-id representative.
@@ -170,9 +227,23 @@ object Dedup {
     * bounded same-band pairs → exact-Jaccard verification → CC →
     * member re-expansion → (id, clusterId, keeper).
     *
+    * The returned frame is CACHED and already materialized (the
+    * operator evaluates eagerly so its internal caches — rep collapse,
+    * signatures, candidate pairs — can be unpersisted before
+    * returning instead of leaking across a session); callers
+    * `unpersist()` it when done.
+    *
     * @param jaccardThreshold verified n-gram Jaccard to call a dup.
     * @param pairBudget max unordered pairs per band cell before
     *                   triangle tiling kicks in ([[bucketPairs]]).
+    * @param starFanout per-record candidate cap for hot buckets of
+    *                   DISTINCT near-identical texts (the exact
+    *                   pre-collapse only absorbs byte-identical
+    *                   copies): buckets beyond 2·m+1 members emit
+    *                   anchor/star pairs (n·m total) instead of the
+    *                   full n²/2 triangle — see [[bucketPairs]] for
+    *                   the connectivity-preserving recall semantics.
+    *                   `None` restores exhaustive pairing.
     */
   def minhashLsh(
       docs: DataFrame,
@@ -183,6 +254,7 @@ object Dedup {
       jaccardThreshold: Double = 0.5,
       seed: Long = 0xded0bL,
       pairBudget: Long = 4L * 1000 * 1000,
+      starFanout: Option[Int] = Some(64),
       tap: Tap = noTap): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -202,7 +274,7 @@ object Dedup {
     // cached: the pair set feeds the intersection join AND the verified
     // base — uncached, the census+tiling+distinct would run twice
     val banded = sigs.select(explode($"bands").as("bucket"), $"id")
-    val pairs = bucketPairs(banded, pairBudget).distinct().cache()
+    val pairs = bucketPairs(banded, pairBudget, starFanout).distinct().cache()
 
     // verify with exact n-gram Jaccard THROUGH the gram inverted index:
     // intersection sizes come from (pair, gram) scalar rows — never by
@@ -230,14 +302,26 @@ object Dedup {
       .where($"jaccard" >= jaccardThreshold)
       .select($"id0", $"id1")
 
-    expandReps(withRep, ConnectedComponents.run(
-      tap("verified", verified).select($"id0".as("src"), $"id1".as("dst"))))
+    // CC is eager (iterative jobs / driver finish), so by the time it
+    // returns, sigs and pairs are fully consumed; the result is then
+    // cached + materialized so withRep can be released too — nothing
+    // internal outlives the call (see the scaladoc contract).
+    val comps = ConnectedComponents.run(
+      tap("verified", verified).select($"id0".as("src"), $"id1".as("dst")))
+    val out = expandReps(withRep, comps).cache()
+    out.count()
+    withRep.unpersist(); sigs.unpersist(); pairs.unpersist()
+    out
   }
 
   /** SimHash near-dup: exact pre-collapse → 64-bit simhash, banded
     * into 4×16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one
     * chunk identical) → bounded same-chunk pairs → exact hamming ≤
-    * maxHamming → CC → member re-expansion. */
+    * maxHamming → CC → member re-expansion.
+    *
+    * Same eager-and-cached return contract and `starFanout` cap
+    * semantics as [[minhashLsh]] (simhash chunk buckets are just as
+    * exposed to distinct-near-identical boilerplate clusters). */
   def simhash(
       docs: DataFrame,
       idCol: String,
@@ -245,6 +329,7 @@ object Dedup {
       maxHamming: Int = 3,
       seed: Long = 0x51a54L,
       pairBudget: Long = 4L * 1000 * 1000,
+      starFanout: Option[Int] = Some(64),
       tap: Tap = noTap): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -263,7 +348,7 @@ object Dedup {
         (shiftright($"sig", c * 16).bitwiseAND(0xffffL) + lit(c.toLong << 16)).as(s"k$c")): _*))
         .as("bucket"),
       $"id")
-    val pairs = bucketPairs(chunked, pairBudget).distinct().cache()
+    val pairs = bucketPairs(chunked, pairBudget, starFanout).distinct().cache()
 
     val s0 = sigs.select($"id".as("id0"), $"sig".as("s0"))
     val s1 = sigs.select($"id".as("id1"), $"sig".as("s1"))
@@ -272,8 +357,12 @@ object Dedup {
       .where($"hamming" <= maxHamming)
       .select($"id0", $"id1")
 
-    expandReps(withRep, ConnectedComponents.run(
-      tap("verified", verified).select($"id0".as("src"), $"id1".as("dst"))))
+    val comps = ConnectedComponents.run(
+      tap("verified", verified).select($"id0".as("src"), $"id1".as("dst")))
+    val out = expandReps(withRep, comps).cache()
+    out.count()
+    withRep.unpersist(); sigs.unpersist(); pairs.unpersist()
+    out
   }
 
   /** Direct exact n-gram Jaccard pairs via gram-inverted-index
@@ -335,7 +424,11 @@ object Dedup {
     * ([[bucketPairs]] — identical boilerplate embeddings share every
     * bucket, so the guard matters here too), verified by exact cosine.
     * `planes` must grow with corpus size (buckets ≈ 2^planes); the
-    * tiling bounds task size at any setting. */
+    * tiling bounds task size at any setting.
+    *
+    * Same eager-and-cached return contract and `starFanout` semantics
+    * as [[minhashLsh]] (a template cluster of near-identical
+    * embeddings lands in one hyperplane bucket). */
   def embeddingNearDup(
       embeddings: DataFrame,
       idCol: String,
@@ -344,6 +437,7 @@ object Dedup {
       planes: Int = 8,
       seed: Long = 0xe3bedL,
       pairBudget: Long = 4L * 1000 * 1000,
+      starFanout: Option[Int] = Some(64),
       tap: Tap = noTap): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -365,13 +459,17 @@ object Dedup {
     val units = tap("units", vecs.select($"id", $"unit"))
     // no .distinct(): each id has exactly ONE bucket, and the triangle
     // tiling puts each unordered pair in exactly one cell
-    val cand = tap("cands", bucketPairs(vecs.select($"bucket", $"id"), pairBudget))
+    val cand = tap("cands", bucketPairs(vecs.select($"bucket", $"id"), pairBudget, starFanout))
     val u0 = units.select($"id".as("id0"), $"unit".as("u0"))
     val u1 = units.select($"id".as("id1"), $"unit".as("u1"))
-    cand.join(u0, "id0").join(u1, "id1")
-      .withColumn("cosine", Ann.dotUdf($"u0", $"u1"))
+    val out = cand.join(u0, "id0").join(u1, "id1")
+      .withColumn("cosine", Ann.dot($"u0", $"u1"))
       .where($"cosine" >= cosineThreshold)
       .select($"id0", $"id1", $"cosine")
+      .cache()
+    out.count()
+    vecs.unpersist()
+    out
   }
 
   /** Shared tail: pairs → CC clusters → keeper = min id per cluster.

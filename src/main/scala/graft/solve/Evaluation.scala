@@ -33,9 +33,16 @@ object Evaluation {
 
   /** Pairwise precision/recall/F1 of a cluster assignment vs truth.
     *
-    * Evaluates EAGERLY (the jobs run inside this call) — the one-row
-    * result gains nothing from laziness and eagerness lets the method
-    * release its internal cache before returning.
+    * Evaluates EAGERLY in ONE Spark job: the three pair sums (tp /
+    * predicted / truth) come from a single GROUPING SETS aggregation
+    * over the record-level join — grouping set (cid, entityId) yields
+    * the intersection cells, (cid) and (entityId) the two marginals —
+    * chained into one final one-row aggregate. One scan, one shuffle
+    * (the Expand triples rows, but map-side partial aggregation
+    * collapses them to ~3× the cell count before the exchange), one
+    * collect; nothing cached, so nothing can leak across calls, and
+    * the stall surface of a bench run is a single job instead of
+    * three.
     *
     * @param truth (dsetId, recId, entityId) — every record in scope
     * @param clusters (dsetId, recId, clusterId) — matcher output;
@@ -58,36 +65,34 @@ object Evaluation {
       .join(clusters, Seq("dsetId", "recId"), "left")
       .withColumn("cid", coalesce(col("clusterId"),
         ConnectedComponents.Encoding.nodeIdCol(col("dsetId"), col("recId"))))
-    // ONE record-level aggregation: the (cluster, entity) cell counts.
-    // Both marginals follow from the cells (n_c = Σ_e n_ce, n_e =
-    // Σ_c n_ce), so the record-scale join is scanned once and the
-    // three pair sums run over the far smaller cell table. The cells
-    // are cached for the three aggregation branches and EAGERLY
-    // consumed: a metrics operator returning one row has nothing to
-    // gain from laziness, and eager evaluation lets this method
-    // unpersist its cache before returning (a lazy result would pin
-    // one cell table in executor storage per pairwise() call, leaking
-    // across a tuning sweep).
-    val cells = joined.groupBy("cid", "entityId").agg(count(lit(1)).as("n")).cache()
-    try {
-      def firstLong(df: DataFrame): Long = df.collect().head.getLong(0)
-      val predPairs = firstLong(cells.groupBy("cid").agg(sum(col("n")).as("n"))
-        .agg(coalesce(sum(c2(col("n"))), lit(0L))))
-      val truthPairs = firstLong(cells.groupBy("entityId").agg(sum(col("n")).as("n"))
-        .agg(coalesce(sum(c2(col("n"))), lit(0L))))
-      val tp = firstLong(cells.agg(coalesce(sum(c2(col("n"))), lit(0L))))
-      // same IEEE op order as the DuckDB oracle's CASE/CAST arithmetic
-      val precision = if (predPairs == 0) 0.0 else tp.toDouble / predPairs
-      val recall = if (truthPairs == 0) 0.0 else tp.toDouble / truthPairs
-      val f1 = if (precision + recall == 0.0) 0.0
-        else 2.0 * precision * recall / (precision + recall)
-      val spark = truth.sparkSession
-      import spark.implicits._
-      Seq((tp, predPairs, truthPairs, precision, recall, f1))
-        .toDF("tp", "pred_pairs", "truth_pairs", "precision", "recall", "f1")
-    } finally {
-      cells.unpersist()
-      ()
-    }
+    // ONE record-level GROUPING SETS aggregation: set (cid, entityId)
+    // produces the intersection-cell counts (→ tp), set (cid) the
+    // predicted-cluster sizes (→ pred_pairs), set (entityId) the truth
+    // sizes (→ truth_pairs). grouping_id() disambiguates: with group
+    // columns (cid, entityId), gid = 0 keeps both, 1 aggregates
+    // entityId away (per-cid marginal), 2 aggregates cid away
+    // (per-entity marginal). The chained one-row aggregate folds the
+    // three C(n,2) sums in the same single job — no cache, no second
+    // scan, one collect.
+    val counts = joined
+      .groupingSets(
+        Seq(Seq(col("cid"), col("entityId")), Seq(col("cid")), Seq(col("entityId"))),
+        col("cid"), col("entityId"))
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+    val r = counts.agg(
+      coalesce(sum(when(col("gid") === 0, c2(col("n")))), lit(0L)).as("tp"),
+      coalesce(sum(when(col("gid") === 1, c2(col("n")))), lit(0L)).as("pred_pairs"),
+      coalesce(sum(when(col("gid") === 2, c2(col("n")))), lit(0L)).as("truth_pairs"))
+      .collect().head
+    val (tp, predPairs, truthPairs) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // same IEEE op order as the DuckDB oracle's CASE/CAST arithmetic
+    val precision = if (predPairs == 0) 0.0 else tp.toDouble / predPairs
+    val recall = if (truthPairs == 0) 0.0 else tp.toDouble / truthPairs
+    val f1 = if (precision + recall == 0.0) 0.0
+      else 2.0 * precision * recall / (precision + recall)
+    val spark = truth.sparkSession
+    import spark.implicits._
+    Seq((tp, predPairs, truthPairs, precision, recall, f1))
+      .toDF("tp", "pred_pairs", "truth_pairs", "precision", "recall", "f1")
   }
 }

@@ -89,4 +89,46 @@ class E2EAccuracySpec extends AnyFunSuite {
     assert(math.abs(samples * proportion - total) <= allowedFalse,
       s"expected ~${samples * proportion} matches, got $total")
   }
+
+  test("env-gated HUGE E2E (GRAFT_HUGE_E2E=1): 500k pages through the " +
+    "SHUFFLE_HASH active-key pruning + salting scoring path at real scale") {
+    // pins the 500k-scale claims in Linkage.scala (the active-key
+    // left-semi SHUFFLE_HASH hint exists because broadcast planning of
+    // that join OOMs at this size; salting + the kernel must hold the
+    // candidate volume) with runtime + pair-count + accuracy assertions
+    assume(sys.env.get("GRAFT_HUGE_E2E").contains("1"), "set GRAFT_HUGE_E2E=1 to run")
+    val samples = 250000
+    val proportion = 0.75
+    val t0 = System.nanoTime()
+    val pages = overlapCorpus(samples, proportion, seed = 211L).cache()
+    val params = LinkageParams(blocking = MinhashBlocking(), threshold = 0.8, k = Some(5))
+    val pairs = Linkage.candidatePairs(pages, params, col("dsetId")).cache()
+    val nPairs = pairs.count()
+    val expected = (samples * proportion).toLong
+    // recall: nearly every true overlap pair must surface as a candidate
+    // (same low perturbation as the smaller E2Es); volume: both-sides
+    // top-k bounds the stream at ~k per record per side
+    assert(nPairs >= expected * 95L / 100L,
+      s"candidate pairs $nPairs < 95% of expected $expected")
+    assert(nPairs <= 2L * params.k.get * samples,
+      s"candidate pairs $nPairs exceed the top-k volume bound")
+    val matched = graft.solve.DistributedGreedy.matching2Party(pairs)
+    val truth = pages.select(col("dsetId"),
+      Linkage.recIdCol(col("url")).as("recId"), col("entityId"))
+    val ev = matched
+      .join(truth.where(col("dsetId") === 0)
+        .select(col("recId").as("rec0"), col("entityId").as("e0")), "rec0")
+      .join(truth.where(col("dsetId") === 1)
+        .select(col("recId").as("rec1"), col("entityId").as("e1")), "rec1")
+    val total = ev.count()
+    val falseM = ev.where(col("e0") =!= col("e1")).count()
+    val allowedFalse = math.ceil(total * 0.02).toLong
+    assert(falseM <= allowedFalse, s"false=$falseM of $total")
+    assert(math.abs(samples * proportion - total) <= allowedFalse,
+      s"expected ~${samples * proportion} matches, got $total")
+    val wallMin = (System.nanoTime() - t0) / 6e10
+    assert(wallMin < 25.0, f"HUGE E2E took $wallMin%.1f min — scale regression")
+    pages.unpersist(); pairs.unpersist()
+    ()
+  }
 }

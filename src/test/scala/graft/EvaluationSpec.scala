@@ -64,6 +64,35 @@ class EvaluationSpec extends AnyFunSuite {
     assert(row.getDouble(5) == 1.0)
   }
 
+  test("pairwise runs as exactly one action (grouping-sets single-pass tail)") {
+    // AQE legitimately splits one action into per-shuffle-stage jobs,
+    // so the stall-surface claim is "one SQL execution" (one collect),
+    // not "one job": the old implementation ran THREE executions.
+    val truth = (0 until 200).map(i => (i % 2, i.toLong, (i / 4).toLong))
+    val pred = (0 until 150).map(i => (i % 2, i.toLong, (i / 3).toLong))
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+              // AQE re-posts nested executions with a rootExecutionId
+              // pointing at the parent; count only roots
+              if s.rootExecutionId.forall(_ == s.executionId) =>
+            execs.incrementAndGet(); ()
+          case _ => ()
+        }
+    }
+    org.apache.spark.graftlistener.drainListenerBus(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Evaluation.pairwise(truth.toDF("dsetId", "recId", "entityId"),
+        pred.toDF("dsetId", "recId", "clusterId"))
+      org.apache.spark.graftlistener.drainListenerBus(spark.sparkContext)
+      assert(execs.get() == 1,
+        s"pairwise must evaluate in ONE action (the grouping-sets collect), saw ${execs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("empty clusters table: all singletons, zero precision/recall/f1") {
     val truth = Seq((0, 1L, 5L), (1, 2L, 5L))
     val pred = Seq.empty[(Int, Long, Long)]

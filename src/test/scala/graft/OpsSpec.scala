@@ -172,6 +172,62 @@ class OpsSpec extends AnyFunSuite {
       (for { i <- 0 until 20; j <- i + 1 until 20 } yield (i.toLong, j.toLong)).toSet)
   }
 
+  test("bucketPairs starFanout: giant distinct hot bucket emits O(n·m) pairs, stays connected") {
+    val n = 2000
+    val m = 8
+    val rows = (0 until n).map(i => (7L, i.toLong)).toDF("bucket", "id")
+    val star = Dedup.bucketPairs(rows, pairBudget = 1000, starFanout = Some(m))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // volume: n·m anchor pairs, nowhere near the n·(n−1)/2 triangle
+    assert(star.length <= n.toLong * m, s"pair volume ${star.length} exceeds n*m=${n * m}")
+    star.foreach { case (a, b) => assert(a < b, "canonical order violated") }
+    // every emitted pair is a real bucket pair and the bucket stays ONE
+    // component through the anchors (the connectivity contract)
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    star.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    assert((0 until n).map(find).toSet.size == 1, "star pairs must keep the bucket connected")
+    // a bucket at exactly the star break-even (n <= 2m+1) stays exact
+    val small = (0 until 2 * m + 1).map(i => (9L, i.toLong)).toDF("bucket", "id")
+    val exact = Dedup.bucketPairs(small, pairBudget = 10, starFanout = Some(m))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == (for { i <- 0 until 2 * m + 1; j <- i + 1 until 2 * m + 1 }
+      yield (i.toLong, j.toLong)).toSet, "sub-threshold hot buckets must stay exactly tiled")
+  }
+
+  test("minhashLsh starFanout bounds verified-pair volume on a giant distinct " +
+    "near-dup cluster; clusters match the unguarded run") {
+    // 600 DISTINCT near-identical docs (41 tokens, 1 differing trigram):
+    // exact pre-collapse cannot fire, pairwise jaccard = 38/40 = 0.95,
+    // so the unguarded candidate set is the full 600·599/2 triangle
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = (1 to 600).map(i => (i.toLong, s"$base tail$i")).toDF("id", "text")
+    var cappedPairs = -1L
+    var fullPairs = -1L
+    val countTap: (String, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame =
+      (stage, df) => { if (stage == "verified") cappedPairs = df.count(); df }
+    val fullTap: (String, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame =
+      (stage, df) => { if (stage == "verified") fullPairs = df.count(); df }
+    val capped = Dedup.minhashLsh(docs, "id", "text", jaccardThreshold = 0.5,
+      pairBudget = 200, starFanout = Some(4), tap = countTap)
+    val uncapped = Dedup.minhashLsh(docs, "id", "text", jaccardThreshold = 0.5,
+      pairBudget = 200, starFanout = None, tap = fullTap)
+    assert(fullPairs == 600L * 599 / 2, s"unguarded run should verify every pair, got $fullPairs")
+    // capped: per record at most bands × m distinct anchor partners
+    assert(cappedPairs <= 600L * 32 * 4,
+      s"capped volume $cappedPairs exceeds the n·bands·m bound")
+    assert(cappedPairs < fullPairs / 2,
+      s"cap had no effect: $cappedPairs vs $fullPairs")
+    val a = capped.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val b = uncapped.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(a == b, "starFanout changed the final clusters on a mutually-near-identical cluster")
+    capped.unpersist(); uncapped.unpersist()
+    ()
+  }
+
   test("minhash LSH survives a planted hot cluster: exact copies collapse, " +
     "near-identical distinct docs are triangle-tiled") {
     val boiler = "terms of service apply to all content on this website " +
@@ -269,6 +325,40 @@ class OpsSpec extends AnyFunSuite {
       nLists = 16, nProbe = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == ivf)
+  }
+
+  test("IVF persisted cell store: identical results, probe scan reads only probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfstore").toString
+    val queries = embeddings.where($"vec_id" < 3)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    // in-flight assignment vs the persisted cell-bucketed store: same
+    // seeded quantizer fit => bit-identical top-k
+    val inflight = Ann.ivfTopK(embeddings, queries, "vec_id", "embedding",
+      k = 3, nLists = 16, nProbe = 2)
+    val stored = Ann.ivfTopK(embeddings, queries, "vec_id", "embedding",
+      k = 3, nLists = 16, nProbe = 2, centroidsDir = Some(dir))
+    assert(key(stored) == key(inflight), "cell store changed IVF results")
+    inflight.unpersist()
+    // partition pruning by construction: the probe plan's input files
+    // under the cell store lie ONLY in probed cell=... dirs, a strict
+    // subset of the cells present on disk
+    val storeFiles = stored.inputFiles.filter(_.contains("ivf-cells"))
+    assert(storeFiles.nonEmpty, "stored probe plan reads no cell store files?")
+    def cellOf(p: String) = p.split("/").find(_.startsWith("cell=")).get
+    val touched = storeFiles.map(cellOf).toSet
+    val allCells = new java.io.File(dir).listFiles()
+      .find(_.getName.startsWith("ivf-cells")).get
+      .listFiles().filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+    // 3 queries × nProbe=2 probe at most 6 of the 16 cells
+    assert(touched.size <= 6, s"probed ${touched.size} cells, expected <= 6")
+    assert(touched.subsetOf(allCells) && touched.size < allCells.size,
+      s"probe must prune: touched=$touched of ${allCells.size} cells")
+    // warm second call reuses the store (still correct)
+    val warm = Ann.ivfTopK(embeddings, queries, "vec_id", "embedding",
+      k = 3, nLists = 16, nProbe = 2, centroidsDir = Some(dir))
+    assert(key(warm) == key(stored))
   }
 
   // ---------------- text ops ----------------

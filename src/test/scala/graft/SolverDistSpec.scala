@@ -34,6 +34,55 @@ class SolverDistSpec extends AnyFunSuite {
     }
   }
 
+  private def seqGroups(cands: Seq[Candidate], mt: Double, dd: Boolean): Set[Set[(Int, Long)]] =
+    Greedy.probabilisticGreedySolve(cands, mt, dd)
+      .map(_.map(r => (r.dset, r.rec)).toSet).toSet
+
+  private def distGroups(cands: Seq[Candidate], mt: Double, dd: Boolean): Set[Set[(Int, Long)]] = {
+    val out = graft.solve.DistributedProbGreedy.clusters(toDf(cands), mt, dd)
+    val groups = out.collect()
+      .groupBy(_.getLong(2))
+      .values.map(_.map(r => (r.getInt(0), r.getLong(1))).toSet).toSet
+    out.unpersist()
+    groups
+  }
+
+  test("distributed probabilistic greedy == sequential port on the .75/.76 boundary goldens " +
+    "(test_solving.py:422-459)") {
+    def c(sim: Double, a: (Int, Int), b: (Int, Int)) =
+      Candidate(sim, a._1, b._1, a._2.toLong, b._2.toLong)
+    val cands = Seq(
+      c(.9, (0, 0), (0, 1)),
+      c(.8, (1, 0), (1, 1)),
+      c(.7, (0, 0), (1, 0)),
+      c(.6, (0, 0), (1, 1)),
+      c(.5, (0, 1), (1, 0)))
+    for (mt <- Seq(0.0, 0.5, 0.75, 0.76, 1.0); dd <- Seq(true, false)) {
+      assert(distGroups(cands, mt, dd) == seqGroups(cands, mt, dd),
+        s"mergeThreshold=$mt deduplicated=$dd")
+    }
+  }
+
+  test("distributed probabilistic greedy == sequential port (random multiparty, " +
+    "ties + duplicate pairs + self-edges)") {
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 6) {
+      // 3 datasets × small id space: heavy group collisions, sim ties
+      // (9-value grid), duplicate (pair, different sim) entries, and
+      // occasional self-candidates the solver must skip
+      val cands = (0 until 250).map { _ =>
+        Candidate((rnd.nextInt(9) + 1) / 10.0,
+          rnd.nextInt(3), rnd.nextInt(3), rnd.nextInt(10).toLong, rnd.nextInt(10).toLong)
+      }
+      val mt = Seq(0.3, 0.5, 0.76, 1.0)(trial % 4)
+      val dd = trial % 2 == 0
+      val want = seqGroups(cands, mt, dd)
+      val got = distGroups(cands, mt, dd)
+      assert(got == want, s"trial $trial mt=$mt dd=$dd: ${got.size} vs ${want.size} groups")
+      assert(want.nonEmpty, s"trial $trial degenerate (no groups) — weak test input")
+    }
+  }
+
   test("distributed greedy with stable-storage checkpointing is unchanged") {
     val rnd = new scala.util.Random(5)
     val pairs = (1 to 400).map { _ =>
