@@ -279,12 +279,17 @@ object PlanLab {
     graft.SparkEntry.queries("q_join_agg")(spark, "/root/testdata/sf0.001").explain("formatted")
     println("=== q_filter_project (expect PushedFilters) ===")
     graft.SparkEntry.queries("q_filter_project")(spark, "/root/testdata/sf0.001").explain("formatted")
-    println("=== Evaluation.pairwise (expect partial_sum HashAggregates, no pair join) ===")
+    println("=== Evaluation pair sums (expect ONE Expand + HashAggregate chain " +
+      "collapsing the grouping sets — single action, no pair join, no cache) ===")
     locally {
       import spark.implicits._
       val truth = Seq((0, 1L, 5L), (1, 2L, 5L)).toDF("dsetId", "recId", "entityId")
       val pred = Seq((0, 1L, 50L), (1, 2L, 50L)).toDF("dsetId", "recId", "clusterId")
-      graft.solve.Evaluation.pairwise(truth, pred).explain("formatted")
+      // pairwise() itself is eager (returns a LocalRelation); explain
+      // the lazy aggregate it collects
+      graft.solve.Evaluation.pairSums(
+        graft.solve.Evaluation.joinedCells(truth, pred),
+        n => shiftright(n * (n - 1), 1)).explain("formatted")
     }
     spark.stop()
   }
