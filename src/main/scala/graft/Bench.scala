@@ -165,16 +165,24 @@ object Bench {
     * (parquet scan, shuffle aggregate, window, join) absorbs it
     * without touching any benched query's specific plan. */
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    val d = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("doc_id", "lang").limit(4000).cache()
-    d.count()
-    d.groupBy("lang").count().count()
-    d.withColumn("rn", row_number().over(Window.partitionBy("lang").orderBy("doc_id")))
-      .where(col("rn") <= 3)
-      .join(d.select(col("doc_id").as("k")), col("doc_id") === col("k"))
-      .count()
-    d.unpersist()
+    // best-effort: a failed warmup (missing table, schema drift) must
+    // not abort the bench — per-query failures are recorded as -1 and
+    // the artifact still gets written, so the warmup can't be stricter
+    try {
+      import org.apache.spark.sql.expressions.Window
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "lang").limit(4000).cache()
+      d.count()
+      d.groupBy("lang").count().count()
+      d.withColumn("rn", row_number().over(Window.partitionBy("lang").orderBy("doc_id")))
+        .where(col("rn") <= 3)
+        .join(d.select(col("doc_id").as("k")), col("doc_id") === col("k"))
+        .count()
+      d.unpersist()
+      ()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
+    }
     resetSessionState(spark)
   }
 

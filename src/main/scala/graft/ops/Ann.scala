@@ -216,9 +216,9 @@ object Ann {
     * signature, see `SparkEntry`).
     *
     * Without a dir, assignment happens in-flight (small/ad-hoc
-    * corpora); the in-flight path evaluates eagerly and releases its
-    * internal cache before returning (returned frame is cached —
-    * callers unpersist). */
+    * corpora). Either way the call evaluates eagerly and releases its
+    * internal caches before returning (returned frame is cached —
+    * callers unpersist when done). */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -236,8 +236,23 @@ object Ann {
     val spark = corpus.sparkSession
     import spark.implicits._
     val useStore = centroids.isEmpty && centroidsDir.isDefined
-    // in-flight path: one cached normalization feeds fit + assignment
-    val corpusN = if (useStore) None else Some(normalized(corpus, idCol, vecCol).cache())
+    // store layout resolved up front so the corpus normalization is
+    // cached exactly when something will scan it more than once: the
+    // in-flight path (fit + assignment) and the one-time store BUILD
+    // (fit + partitioned write); the warm store path never normalizes
+    // the corpus at all
+    val storeInfo: Option[(String, org.apache.hadoop.fs.FileSystem, Boolean)] =
+      if (!useStore) None
+      else {
+        val cellsPath = s"${centroidsDir.get}/ivf-cells-v1-k$nLists" +
+          s"-s${java.lang.Long.toHexString(seed)}.parquet"
+        val fs = new org.apache.hadoop.fs.Path(cellsPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Some((cellsPath, fs,
+          fs.exists(new org.apache.hadoop.fs.Path(cellsPath, "_SUCCESS"))))
+      }
+    val needCorpusN = !useStore || storeInfo.exists(!_._3)
+    val corpusN = if (needCorpusN) Some(normalized(corpus, idCol, vecCol).cache()) else None
     // coarse quantizer: precomputed centroids > persisted fit > fresh fit
     val cents = centroids.getOrElse(
       centroidsDir match {
@@ -265,19 +280,20 @@ object Ann {
       }.sortBy { case (c, dot) => (-dot, c) }.take(n).map(_._1)
     }
 
+    // cached: the query side is scanned by the probed-cells collect
+    // (store path) AND the candidate join — tiny (queries × nProbe)
     val qAssigned = normalized(queries, idCol, vecCol).as[(Long, Seq[Float])]
       .flatMap { case (id, v) => nearestCells(v.toArray, nProbe).map(c => (id, v, c)) }
       .toDF("query_id", "qunit", "cell")
+      .cache()
 
-    val assigned: DataFrame = centroidsDir match {
-      case Some(d) if useStore =>
-        val cellsPath = s"$d/ivf-cells-v1-k$nLists-s${java.lang.Long.toHexString(seed)}.parquet"
-        val hp = new org.apache.hadoop.fs.Path(cellsPath)
-        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(cellsPath, "_SUCCESS"))) {
+    val assigned: DataFrame = storeInfo match {
+      case Some((cellsPath, fs, exists)) =>
+        if (!exists) {
           // build once: assign every corpus vector to its cell and lay
-          // the corpus out cell-partitioned next to the centroids
-          normalized(corpus, idCol, vecCol).as[(Long, Seq[Float])]
+          // the corpus out cell-partitioned next to the centroids (the
+          // cached corpusN fed the fit above — one normalization total)
+          corpusN.get.as[(Long, Seq[Float])]
             .map { case (id, v) => (id, v, nearestCells(v.toArray, 1).head) }
             .toDF("id", "unit", "cell")
             .write.mode("overwrite").partitionBy("cell").parquet(cellsPath)
@@ -292,7 +308,7 @@ object Ann {
         else
           spark.read.option("basePath", cellsPath).parquet(dirs.toIndexedSeq: _*)
             .select($"id", $"unit", $"cell")
-      case _ =>
+      case None =>
         corpusN.get.as[(Long, Seq[Float])]
           .map { case (id, v) => (id, v, nearestCells(v.toArray, 1).head) }
           .toDF("id", "unit", "cell")
@@ -303,19 +319,16 @@ object Ann {
       .withColumn("cosine", dot(col("qunit"), col("unit")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("cosine"), asc("id"))
-    val result = scored.select("query_id", "id", "cosine")
+    // uniform eager contract: materialize the (small) top-k result so
+    // every internal cache can be released before returning
+    val out = scored.select("query_id", "id", "cosine")
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
-    corpusN match {
-      case Some(cn) =>
-        // in-flight path: materialize the (small) top-k result so the
-        // corpus cache can be released before returning
-        val out = result.cache()
-        out.count()
-        cn.unpersist()
-        out
-      case None => result
-    }
+      .cache()
+    out.count()
+    corpusN.foreach(_.unpersist())
+    qAssigned.unpersist()
+    out
   }
 
   /** LSH-bucketed top-k: `tables` independent hyperplane tables; probe

@@ -74,16 +74,21 @@ object Dedup {
     * (smallest `xxhash64(id, bucket)`, total order) and every member
     * is paired with every anchor — n·m pairs total, O(m) per record.
     *
-    * Recall semantics of the cap (the reason it is an opt-in
-    * parameter): two non-anchor members are never verified directly —
-    * they end up in one cluster iff both verify against a common
-    * anchor, so per-bucket CONNECTIVITY through the anchors is
-    * preserved (a genuinely near-identical cluster stays one
-    * component: every member matches every anchor), but an individual
-    * non-anchor/non-anchor pair below-threshold-to-all-anchors is
-    * missed. Dedup needs the cluster connected, not every pair
-    * enumerated — the same trade the linkage path makes with per-left
-    * top-k inside the Dice kernel.
+    * Recall semantics of the cap: two non-anchor members are never
+    * verified directly — they end up in one cluster iff both verify
+    * against a common anchor, so per-bucket CONNECTIVITY through the
+    * anchors is preserved (a genuinely near-identical cluster stays
+    * one component: every member matches every anchor), but an
+    * individual non-anchor/non-anchor pair below-threshold-to-all-
+    * anchors is missed. Dedup needs the cluster connected, not every
+    * pair enumerated — the same trade the linkage path makes with
+    * per-left top-k inside the Dice kernel. Here the cap defaults to
+    * `None` (exhaustive); the dedup entry points ([[minhashLsh]],
+    * [[simhash]], [[embeddingNearDup]]) default it ON at m = 64 —
+    * pass `starFanout = None` there to restore exhaustive pairing.
+    * Within one bucket every pair is emitted exactly once by BOTH the
+    * tiling and the star path (anchor-anchor pairs are emitted only
+    * from the smaller anchor's row).
     *
     * The hot census is collected to the driver like the linkage path's
     * (`Linkage.saltExploded`): hot buckets are few by construction —
@@ -126,23 +131,48 @@ object Dedup {
     val starPairs: Option[DataFrame] = if (starSet.isEmpty) None else {
       val m = starFanout.get
       val starRows = base.where(col("bucket").isInCollection(starSet.toSeq))
-      // deterministic anchors: the m smallest (xxhash64(id,bucket), id)
-      // per bucket — a window over hot-bucket rows only (few buckets by
-      // construction; the sort is confined to them). Collected rows =
-      // m × #star-buckets — tiny, broadcast back out.
-      val aw = Window.partitionBy($"bucket")
-        .orderBy(xxhash64($"id", $"bucket"), $"id")
-      val anchors: Map[Long, Array[Long]] = starRows
-        .withColumn("rk", row_number().over(aw))
-        .where($"rk" <= m)
-        .select($"bucket", $"id").as[(Long, Long)].collect()
-        .groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).sorted }
+      // deterministic anchors: the m smallest (mix64(id ^ mix64(b)), id)
+      // per bucket. NOT a window — a window sort would concentrate the
+      // motivating 10^6-member hot bucket into one sort task, the exact
+      // skew this machinery exists to avoid. Instead: per-partition
+      // bounded heaps (linear, no shuffle) → driver merge of
+      // ≤ m × #star-buckets candidates per partition — same collect
+      // shape as the hot census above.
+      def anchorKey(b: Long, id: Long): Long = Hashing.mix64(id ^ Hashing.mix64(b))
+      val partTop: Array[(Long, Long, Long)] = starRows.as[(Long, Long)]
+        .mapPartitions { it =>
+          val heaps = scala.collection.mutable.HashMap
+            .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long)]]
+          it.foreach { case (b, id) =>
+            val k = (anchorKey(b, id), id)
+            val pq = heaps.getOrElseUpdate(b,
+              scala.collection.mutable.PriorityQueue.empty[(Long, Long)]) // max on top
+            if (pq.size < m) pq.enqueue(k)
+            else if (Ordering[(Long, Long)].lt(k, pq.head)) { pq.dequeue(); pq.enqueue(k) }
+          }
+          heaps.iterator.flatMap { case (b, pq) =>
+            pq.iterator.map { case (h, id) => (b, h, id) }
+          }
+        }.collect()
+      val anchors: Map[Long, Array[Long]] = partTop
+        .groupBy(_._1).map { case (b, rs) =>
+          b -> rs.map(t => (t._2, t._3)).sorted.take(m).map(_._2).sorted
+        }
       val anchorsB = spark.sparkContext.broadcast(anchors)
+      // each unordered pair exactly ONCE: a member row pairs with every
+      // anchor (members are not anchors), an ANCHOR row pairs only with
+      // strictly-larger anchors — without the guard every anchor-anchor
+      // pair would be emitted twice (once from each anchor's row),
+      // which embeddingNearDup's no-distinct contract would surface as
+      // duplicate output rows
       Some(starRows.as[(Long, Long)]
         .mapPartitions { it =>
           val a = anchorsB.value
           it.flatMap { case (b, id) =>
-            a(b).iterator.filter(_ != id)
+            val as = a(b)
+            val isAnchor = java.util.Arrays.binarySearch(as, id) >= 0
+            as.iterator
+              .filter(x => if (isAnchor) x > id else x != id)
               .map(x => (math.min(x, id), math.max(x, id)))
           }
         }

@@ -31,24 +31,6 @@ import org.apache.spark.sql.functions._
   */
 object Evaluation {
 
-  /** Pairwise precision/recall/F1 of a cluster assignment vs truth.
-    *
-    * Evaluates EAGERLY in ONE Spark job: the three pair sums (tp /
-    * predicted / truth) come from a single GROUPING SETS aggregation
-    * over the record-level join — grouping set (cid, entityId) yields
-    * the intersection cells, (cid) and (entityId) the two marginals —
-    * chained into one final one-row aggregate. One scan, one shuffle
-    * (the Expand triples rows, but map-side partial aggregation
-    * collapses them to ~3× the cell count before the exchange), one
-    * collect; nothing cached, so nothing can leak across calls, and
-    * the stall surface of a bench run is a single job instead of
-    * three.
-    *
-    * @param truth (dsetId, recId, entityId) — every record in scope
-    * @param clusters (dsetId, recId, clusterId) — matcher output;
-    *                 records absent here count as singletons
-    * @return one row: (tp, pred_pairs, truth_pairs, precision, recall, f1)
-    */
   /** The lazy single-action (tp, pred_pairs, truth_pairs) aggregate —
     * split out so plan audits (`tools.PlanLab`) can explain the
     * grouping-sets plan that [[pairwise]] collects eagerly. */
@@ -72,6 +54,24 @@ object Evaluation {
       .withColumn("cid", coalesce(col("clusterId"),
         ConnectedComponents.Encoding.nodeIdCol(col("dsetId"), col("recId"))))
 
+  /** Pairwise precision/recall/F1 of a cluster assignment vs truth.
+    *
+    * Evaluates EAGERLY in ONE Spark action: the three pair sums (tp /
+    * predicted / truth) come from a single GROUPING SETS aggregation
+    * over the record-level join — grouping set (cid, entityId) yields
+    * the intersection cells, (cid) and (entityId) the two marginals —
+    * chained into one final one-row aggregate ([[pairSums]]). One
+    * scan, one shuffle (the Expand triples rows, but map-side partial
+    * aggregation collapses them to ~3× the cell count before the
+    * exchange), one collect; nothing cached, so nothing can leak
+    * across calls, and the stall surface of a bench run is a single
+    * action instead of three.
+    *
+    * @param truth (dsetId, recId, entityId) — every record in scope
+    * @param clusters (dsetId, recId, clusterId) — matcher output;
+    *                 records absent here count as singletons
+    * @return one row: (tp, pred_pairs, truth_pairs, precision, recall, f1)
+    */
   def pairwise(truth: DataFrame, clusters: DataFrame): DataFrame = {
     // C(n,2) in pure integer math: n*(n-1) is even, so a right shift is
     // exact while the product fits a Long — i.e. to n ≈ 3.0e9 members

@@ -147,6 +147,27 @@ class OpsSpec extends AnyFunSuite {
     (0 until 5).foreach(i => assert(pairs.contains((i.toLong, 100L + i)), s"missed planted pair $i"))
   }
 
+  test("embedding near-dup in star mode emits no duplicate pair rows") {
+    // one giant cluster of near-identical vectors: all land in one
+    // hyperplane bucket, tiny pairBudget + small fanout forces the
+    // star path — output rows must stay unique WITHOUT a distinct()
+    // (each id has one bucket; the star emits each pair once)
+    val rnd = new scala.util.Random(23)
+    val proto = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val df = (0 until 120).map(i =>
+      (i.toLong, proto.map(x => x + 0.0005f * rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(df, "vec_id", "embedding",
+      cosineThreshold = 0.99, pairBudget = 50, starFanout = Some(3))
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.toSet.size,
+      s"${rows.length - rows.toSet.size} duplicate near-dup pair rows")
+    assert(rows.length <= 120L * 3, s"star cap ineffective: ${rows.length} pairs")
+    assert(rows.nonEmpty)
+    out.unpersist()
+    ()
+  }
+
   // ---------------- dedup scale guards ----------------
 
   test("bucketPairs: hot-bucket triangle tiling is exact and bounded") {
@@ -180,6 +201,11 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     // volume: n·m anchor pairs, nowhere near the n·(n−1)/2 triangle
     assert(star.length <= n.toLong * m, s"pair volume ${star.length} exceeds n*m=${n * m}")
+    // within one bucket every pair must be emitted exactly once —
+    // anchor-anchor pairs come only from the smaller anchor's row
+    // (embeddingNearDup relies on this: it does NOT distinct())
+    assert(star.toSet.size == star.length,
+      s"${star.length - star.toSet.size} duplicate star pairs emitted")
     star.foreach { case (a, b) => assert(a < b, "canonical order violated") }
     // every emitted pair is a real bucket pair and the bucket stays ONE
     // component through the anchors (the connectivity contract)
@@ -337,14 +363,21 @@ class OpsSpec extends AnyFunSuite {
     // seeded quantizer fit => bit-identical top-k
     val inflight = Ann.ivfTopK(embeddings, queries, "vec_id", "embedding",
       k = 3, nLists = 16, nProbe = 2)
+    // capture the candidate join's input files through the tap: the
+    // RETURNED frame is eagerly cached, so its optimized plan is an
+    // InMemoryRelation and inputFiles on it would come back empty
+    var storeFiles: Array[String] = Array.empty
+    val fileTap: Dedup.Tap = (stage, df) => {
+      if (stage == "cands") storeFiles = df.inputFiles.filter(_.contains("ivf-cells"))
+      df
+    }
     val stored = Ann.ivfTopK(embeddings, queries, "vec_id", "embedding",
-      k = 3, nLists = 16, nProbe = 2, centroidsDir = Some(dir))
+      k = 3, nLists = 16, nProbe = 2, centroidsDir = Some(dir), tap = fileTap)
     assert(key(stored) == key(inflight), "cell store changed IVF results")
     inflight.unpersist()
     // partition pruning by construction: the probe plan's input files
     // under the cell store lie ONLY in probed cell=... dirs, a strict
     // subset of the cells present on disk
-    val storeFiles = stored.inputFiles.filter(_.contains("ivf-cells"))
     assert(storeFiles.nonEmpty, "stored probe plan reads no cell store files?")
     def cellOf(p: String) = p.split("/").find(_.startsWith("cell=")).get
     val touched = storeFiles.map(cellOf).toSet
