@@ -152,6 +152,20 @@ object SparkEntry {
         dumpAux("linkage_greedy_pairs",
           Linkage.candidatePairs(corpus(s), linkParams, col("dsetId"))))
     }),
+    "linkage_prob_clusters" -> ((s, _) => {
+      // V2‴: distributed EXACT multiparty probabilistic greedy
+      // (solve.DistributedProbGreedy — component-parallel, bit-exact
+      // vs the sequential reference port). At merge_threshold = 1.0 on
+      // the pipeline's deduped cross-dataset pairs it coincides with
+      // greedy matching (a unique-pair stream can never reach the
+      // overlap ≥ |g0|·|g1| bar beyond 1×1 groups), so the unrolled
+      // mutual-best oracle replays it; the oracle relabels clusters to
+      // the solver's min-member-node-id convention.
+      graft.solve.DistributedProbGreedy.clusters(
+        dumpAux("linkage_prob_pairs",
+          Linkage.candidatePairs(corpus(s), linkParams, col("dsetId"))),
+        mergeThreshold = 1.0, deduplicated = true)
+    }),
     "linkage_eval" -> ((s, _) => {
       // the north-rule metric as an operator: pairwise precision/
       // recall/F1 of the full pipeline's clusters vs the corpus's
@@ -680,6 +694,8 @@ object SparkEntry {
       block.MinhashParams(), graft.encode.ClkParams()),
     "linkage_greedy_clusters" -> graft.oracle.OracleSqlGen.greedyClustersSql(
       s"$oracleAuxDir/linkage_greedy_pairs/*.parquet"),
+    "linkage_prob_clusters" -> graft.oracle.OracleSqlGen.greedyClustersSql(
+      s"$oracleAuxDir/linkage_prob_pairs/*.parquet", minLabelCluster = true),
     "linkage_eval" ->
       s"""WITH t AS (SELECT * FROM read_parquet('$oracleAuxDir/linkage_eval_truth/*.parquet')),
         | c AS (SELECT * FROM read_parquet('$oracleAuxDir/linkage_eval_clusters/*.parquet')),

@@ -217,7 +217,15 @@ object OracleSqlGen {
     * failure on correct engine output, never a silent false pass. 64
     * rounds ≈ 128-edge staircase chains, far beyond what the deduped
     * top-k candidate streams produce. */
-  def greedyClustersSql(srcGlob: String, rounds: Int = 64): String = {
+  /** @param minLabelCluster relabel each cluster to the MIN member
+    *   node id instead of the rec0-endpoint node id — the cluster-id
+    *   convention of `solve.DistributedProbGreedy` (multiparty groups
+    *   have no canonical "first" endpoint, so the solver uses the
+    *   minimum; on bipartite matching output the two conventions
+    *   differ only in the label, and this window makes the oracle
+    *   match it exactly). */
+  def greedyClustersSql(srcGlob: String, rounds: Int = 64,
+      minLabelCluster: Boolean = false): String = {
     val sort = "sim DESC, dset0, dset1, rec0, rec1"
     val head =
       s"WITH rem0 AS MATERIALIZED (SELECT sim, dset0, dset1, rec0, rec1 FROM read_parquet('$srcGlob'))"
@@ -233,12 +241,22 @@ object OracleSqlGen {
          |     AND r.rec1 NOT IN (SELECT rec1 FROM tk$i))""".stripMargin
     }
     val matched = (1 to rounds).map(i => s"SELECT * FROM tk$i").mkString(" UNION ALL ")
-    (Seq(head) ++ roundCtes ++ Seq(
-      s" m AS ($matched)",
+    val clCte =
       s""" cl AS (SELECT dset0 AS d, rec0 AS r, xor((CAST(dset0 AS BIGINT) + 1) << 56, rec0) AS cid FROM m
-         |   UNION ALL SELECT dset1, rec1, xor((CAST(dset0 AS BIGINT) + 1) << 56, rec0) FROM m)
-         |SELECT d AS "dsetId", r AS "recId", cid AS "clusterId" FROM cl
-         |UNION ALL SELECT -99, CAST(-99 AS BIGINT), CAST(-99 AS BIGINT)
-         |WHERE EXISTS(SELECT 1 FROM rem$rounds)""".stripMargin)).mkString(",\n")
+         |   UNION ALL SELECT dset1, rec1, xor((CAST(dset0 AS BIGINT) + 1) << 56, rec0) FROM m)""".stripMargin
+    val tail =
+      if (!minLabelCluster)
+        s"""$clCte
+           |SELECT d AS "dsetId", r AS "recId", cid AS "clusterId" FROM cl
+           |UNION ALL SELECT -99, CAST(-99 AS BIGINT), CAST(-99 AS BIGINT)
+           |WHERE EXISTS(SELECT 1 FROM rem$rounds)""".stripMargin
+      else
+        s"""$clCte,
+           | rl AS (SELECT d, r,
+           |   min(xor((CAST(d AS BIGINT) + 1) << 56, r)) OVER (PARTITION BY cid) AS cid2 FROM cl)
+           |SELECT d AS "dsetId", r AS "recId", cid2 AS "clusterId" FROM rl
+           |UNION ALL SELECT -99, CAST(-99 AS BIGINT), CAST(-99 AS BIGINT)
+           |WHERE EXISTS(SELECT 1 FROM rem$rounds)""".stripMargin
+    (Seq(head) ++ roundCtes ++ Seq(s" m AS ($matched)", tail)).mkString(",\n")
   }
 }
