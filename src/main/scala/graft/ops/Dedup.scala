@@ -407,7 +407,15 @@ object Dedup {
     * 10^12 join rows in a single task; with it the join work is
     * bounded by Σ min(df, maxDf)² per gram. A stop-gram shared by both
     * docs lowers inter and union by one each, so filtered Jaccard ≤
-    * unfiltered for j < 1 — the cap only ever tightens membership. */
+    * unfiltered for j < 1 — the cap only ever tightens membership.
+    *
+    * Cache contract: the filtered gram index is cached for the three
+    * scans inside the returned LAZY plan (sizes + both join sides) and
+    * stays pinned until the caller's session drops it — callers doing
+    * repeated sweeps should `spark.catalog.clearCache()` between runs
+    * (Bench/Verify do, per query). The op stays lazy because its
+    * result is a pair stream, not a bounded cluster table like the
+    * eager near-dup ops above. */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,

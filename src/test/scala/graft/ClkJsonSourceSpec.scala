@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.BitVector
+import graft.gen.RandomClks
+import graft.io.ClkJsonSource
+
+/** The clkhash/anonlink base64 CLK JSON interop surface: faithful
+  * single-object format (recId = array position, like the reference's
+  * list indexing), the splittable JSONL layout, and the end-to-end
+  * "two CLK files → candidate pairs" flow. */
+class ClkJsonSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def clkBytes(seed: Long, n: Int): Seq[Array[Byte]] =
+    (0 until n).map(i => BitVector.toBytes(RandomClks.clkFor(i.toLong, 16, seed)))
+
+  test("readJson: hand-built {\"clks\": [...]} decodes bytes, popcounts, positional recIds") {
+    val clks = clkBytes(0xabcL, 7)
+    val b64 = clks.map(java.util.Base64.getEncoder.encodeToString)
+    val path = java.nio.file.Files.createTempDirectory("clkjson").resolve("clks.json")
+    java.nio.file.Files.writeString(path,
+      b64.mkString("{\"clks\": [\"", "\", \"", "\"]}"))
+    val got = ClkJsonSource.readJson(spark, path.toString)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getInt(2)))
+      .sortBy(_._1)
+    assert(got.length == 7)
+    got.foreach { case (recId, bytes, pop) =>
+      assert(bytes.sameElements(clks(recId.toInt)), s"bytes mismatch at $recId")
+      assert(pop == BitVector.popcount(BitVector.fromBytes(bytes)))
+    }
+  }
+
+  test("writeJson -> readJson and writeJsonl -> readJsonl round-trip bit-exactly") {
+    val clks = clkBytes(0x77L, 23)
+    val df = clks.zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("recId", "clk")
+    val dir = java.nio.file.Files.createTempDirectory("clkjson_rt").toString
+    ClkJsonSource.writeJson(df, s"$dir/single.json")
+    val single = ClkJsonSource.readJson(spark, s"$dir/single.json")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).sortBy(_._1)
+    assert(single.length == 23)
+    single.foreach { case (id, b) => assert(b.sameElements(clks(id.toInt))) }
+    ClkJsonSource.writeJsonl(df, s"$dir/lines")
+    // strict-decoder safety: no MIME chunking artifacts in the files
+    // (Spark's base64() would embed escaped \r\n every 76 chars)
+    new java.io.File(s"$dir/lines").listFiles()
+      .filter(_.getName.startsWith("part-")).foreach { f =>
+        val c = java.nio.file.Files.readString(f.toPath)
+        assert(!c.contains("\\r"), s"chunked base64 leaked into ${f.getName}")
+      }
+    val lines = ClkJsonSource.readJsonl(spark, s"$dir/lines")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).sortBy(_._1)
+    assert(lines.length == 23)
+    lines.foreach { case (id, b) => assert(b.sameElements(clks(id.toInt))) }
+    // the single-object writer refuses corpus-scale inputs
+    intercept[IllegalArgumentException] {
+      ClkJsonSource.writeJson(df, s"$dir/too_big.json", maxRecords = 10)
+    }
+    ()
+  }
+
+  test("two CLK JSON files through the pipeline: identical CLKs match at high threshold") {
+    // dataset 0 and dataset 1 share CLKs 0..9 exactly; 10..19 differ
+    val shared = clkBytes(0x5eedL, 10)
+    val only0 = clkBytes(0xaaaL, 20).drop(10)
+    val only1 = clkBytes(0xbbbL, 20).drop(10)
+    val dir = java.nio.file.Files.createTempDirectory("clkjson_e2e").toString
+    ClkJsonSource.writeJson(
+      (shared ++ only0).zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("recId", "clk"),
+      s"$dir/a.json")
+    ClkJsonSource.writeJson(
+      (shared ++ only1).zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("recId", "clk"),
+      s"$dir/b.json")
+    val params = LinkageParams(blocking = BitBandBlocking(), threshold = 0.99, k = Some(3))
+    val pairs = ClkJsonSource.candidatePairs(spark, s"$dir/a.json", s"$dir/b.json", params)
+      .collect().map(r => (r.getLong(3), r.getLong(4), r.getDouble(0)))
+    // every shared CLK matches itself (Dice 1.0) at its own index
+    (0 until 10).foreach { i =>
+      assert(pairs.exists { case (r0, r1, sim) => r0 == i && r1 == i && sim == 1.0 },
+        s"self-match for shared CLK $i missing")
+    }
+    // random non-identical CLKs never reach 0.99
+    pairs.foreach { case (r0, r1, sim) =>
+      assert(r0 == r1 && r0 < 10 && sim == 1.0, s"unexpected pair ($r0,$r1,$sim)")
+    }
+  }
+}
