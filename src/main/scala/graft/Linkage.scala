@@ -355,23 +355,33 @@ object Linkage {
           encode(pages, params, dsetIdExpr).toDF()
         }
         .as[EncodedRecord]
-      val (blocked, anySalted) = blockAndSaltWithStats(encoded, params)
-      val raw = params.k match {
-        case Some(kk) if anySalted =>
-          // keep the block key through scoring so per-block top-k can
-          // be restored after salting (exact salting invariance —
-          // without this, a salted cell's rank-(k+1) pair could leak
-          // into the global `_enforce_k` stream)
-          Candidates.perBlockTopK(scorePairsWithKey(blocked, params), kk).drop("key")
-        case _ =>
-          // nothing salted (every cell is a whole block — the kernel's
-          // per-cell top-k already IS per-block) or no k at all (cells
-          // partition the comparison rectangle): skip the restoration
-          // window, the stream is already exact
-          scorePairs(blocked, params)
-      }
-      Candidates.finalize(tap("raw", raw), params.k)
+      candidatePairsFromEncoded(encoded, params, tap)
     }
+  }
+
+  /** The scoring tail from already-encoded records: explode + salt →
+    * kernel → per-block top-k restoration when salting split a block →
+    * dedup + global `_enforce_k`. Shared by [[candidatePairs]] and
+    * external-CLK entry points ([[graft.io.ClkJsonSource]]) so every
+    * path gets the exact salting-invariance semantics. */
+  def candidatePairsFromEncoded(encoded: Dataset[EncodedRecord], params: LinkageParams,
+      tap: graft.ops.Dedup.Tap = graft.ops.Dedup.noTap): DataFrame = {
+    val (blocked, anySalted) = blockAndSaltWithStats(encoded, params)
+    val raw = params.k match {
+      case Some(kk) if anySalted =>
+        // keep the block key through scoring so per-block top-k can
+        // be restored after salting (exact salting invariance —
+        // without this, a salted cell's rank-(k+1) pair could leak
+        // into the global `_enforce_k` stream)
+        Candidates.perBlockTopK(scorePairsWithKey(blocked, params), kk).drop("key")
+      case _ =>
+        // nothing salted (every cell is a whole block — the kernel's
+        // per-cell top-k already IS per-block) or no k at all (cells
+        // partition the comparison rectangle): skip the restoration
+        // window, the stream is already exact
+        scorePairs(blocked, params)
+    }
+    Candidates.finalize(tap("raw", raw), params.k)
   }
 
   /** V2: transitive clustering of the candidate pairs. Returns

@@ -156,11 +156,16 @@ object SparkEntry {
       // V2‴: distributed EXACT multiparty probabilistic greedy
       // (solve.DistributedProbGreedy — component-parallel, bit-exact
       // vs the sequential reference port). At merge_threshold = 1.0 on
-      // the pipeline's deduped cross-dataset pairs it coincides with
-      // greedy matching (a unique-pair stream can never reach the
-      // overlap ≥ |g0|·|g1| bar beyond 1×1 groups), so the unrolled
-      // mutual-best oracle replays it; the oracle relabels clusters to
-      // the solver's min-member-node-id convention.
+      // the pipeline's deduped BIPARTITE pairs it coincides with
+      // greedy matching: a group's only cross-edges to a lone record
+      // come from its single opposite-dataset member, so the overlap
+      // counter can never reach |g0|·|g1| past 1×1 groups. (With ≥3
+      // datasets unique pairs CAN merge 3-groups — e.g. {a0,b1} + c2
+      // via (a0,c2)+(b1,c2) — so this oracle is valid ONLY while the
+      // corpus is 2-party; the multiparty semantics are differential-
+      // tested in SolverDistSpec instead.) The unrolled mutual-best
+      // oracle replays the sweep; it relabels clusters to the solver's
+      // min-member-node-id convention.
       graft.solve.DistributedProbGreedy.clusters(
         dumpAux("linkage_prob_pairs",
           Linkage.candidatePairs(corpus(s), linkParams, col("dsetId"))),

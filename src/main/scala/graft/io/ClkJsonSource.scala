@@ -2,8 +2,8 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.{EncodedRecord, Linkage}
-import graft.block.{BitBandParams, Blocking}
+import graft.{BitBandBlocking, EncodedRecord, Linkage}
+import graft.block.Blocking
 import graft.core.BitVector
 
 /** Reader/writer for the clkhash/anonlink '''base64 CLK JSON'''
@@ -69,23 +69,38 @@ object ClkJsonSource {
       .write.mode("overwrite").json(path)
   }
 
-  /** Write the faithful single-object format, ordered by recId so the
-    * array position round-trips as the identity. Driver-side by
-    * nature (one JSON document); `maxRecords` guards against feeding
-    * it a corpus — use [[writeJsonl]] beyond handoff sizes. */
+  /** Write the faithful single-object format. The array POSITION is
+    * the record identity in this format, so the input must carry
+    * dense recIds 0..n-1 (anything else — e.g. the engine's 64-bit
+    * url-hash recIds — would be silently renumbered on read-back;
+    * renumber explicitly or use [[writeJsonl]], which keeps explicit
+    * ids). Driver-side by nature (one JSON document); `maxRecords`
+    * guards against feeding it a corpus. */
   def writeJson(clks: DataFrame, path: String, maxRecords: Long = 1000000L): Unit = {
-    val n = clks.count()
-    require(n <= maxRecords,
-      s"writeJson is the single-document interop format ($n rows > cap $maxRecords); " +
+    require(maxRecords > 0 && maxRecords < Int.MaxValue,
+      s"maxRecords must be in (0, Int.MaxValue), got $maxRecords")
+    // single job: over-cap detection via limit(cap+1), not a separate
+    // count() that would execute the upstream plan twice
+    val rows = clks.select(col("recId").cast("long"), col("clk"))
+      .limit(maxRecords.toInt + 1).collect()
+    require(rows.length <= maxRecords,
+      s"writeJson is the single-document interop format (> $maxRecords rows); " +
         "use writeJsonl for large CLK sets")
+    val sorted = rows.sortBy(_.getLong(0))
+    sorted.iterator.zipWithIndex.foreach { case (r, i) =>
+      require(r.getLong(0) == i,
+        s"writeJson requires dense recIds 0..n-1 (position IS the identity in " +
+          s"this format); found recId ${r.getLong(0)} at position $i — " +
+          "renumber first or use writeJsonl (explicit ids)")
+    }
     // encode on the driver with the plain (non-MIME) JDK encoder —
-    // Spark's base64() can emit 76-char MIME chunking (config-
-    // dependent), and a raw newline inside a JSON string literal
-    // corrupts the document
-    val b64s = clks.select(col("recId").cast("long"), col("clk"))
-      .collect().sortBy(_.getLong(0))
-      .map(r => java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]](1)))
-    val body = b64s.mkString("{\"clks\": [\"", "\", \"", "\"]}")
+    // Spark's base64() emits 76-char MIME chunking with \r\n, and a
+    // raw newline inside a JSON string literal corrupts the document
+    val b64s = sorted.map(r =>
+      java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]](1)))
+    val body =
+      if (b64s.isEmpty) "{\"clks\": []}" // mkString would emit [""] — a phantom record
+      else b64s.mkString("{\"clks\": [\"", "\", \"", "\"]}")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(clks.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -93,40 +108,58 @@ object ClkJsonSource {
     finally out.close()
   }
 
-  /** Attach bit-sampling LSH band keys (B1) and lift to the pipeline's
-    * [[EncodedRecord]] shape. `url` is synthesized (`clk:<recId>`) —
-    * identity is already fixed by recId, and nothing downstream of
-    * encode derives from url. Empty CLKs get no keys (they can never
-    * match at threshold > 0 but would otherwise all collide into one
-    * hot block — same rule as `Linkage.encode`). */
+  /** Attach blocking keys and lift to the pipeline's [[EncodedRecord]]
+    * shape. `url` is synthesized (`clk:<recId>`) — identity is already
+    * fixed by recId, and nothing downstream of encode derives from
+    * url.
+    *
+    * Supported strategies: [[graft.BitBandBlocking]] (B1 — sampling
+    * the filter's own bits, the natural blocking for CLK-only input;
+    * empty CLKs get no keys, same rule as `Linkage.encode`) and
+    * [[graft.NoBlocking]] (the reference's compare-everything default
+    * — right for small handoff files). [[graft.MinhashBlocking]] is
+    * REJECTED loudly: minhash banding needs the gram sets, which a
+    * CLK file no longer carries — silently substituting bit-banding
+    * would drop pairs the caller asked to keep. */
   def toEncoded(clks: DataFrame, dsetId: Int,
-      p: BitBandParams = BitBandParams()): Dataset[EncodedRecord] = {
+      blocking: graft.BlockingStrategy = BitBandBlocking()): Dataset[EncodedRecord] = {
     val spark = clks.sparkSession
     import spark.implicits._
+    val keyFn: (Array[Long], Int) => Array[Long] = blocking match {
+      case BitBandBlocking(p) =>
+        (words, pop) => {
+          // a CLK shorter than the sampled bit range would AIOOBE in
+          // the executor — clkhash supports filter sizes below the
+          // default 1024, so validate per row with an actionable error
+          require(words.length * 64 >= p.bits,
+            s"CLK has ${words.length * 64} bits but BitBandParams.bits=${p.bits} — " +
+              s"pass BitBandBlocking(BitBandParams(bits = <your filter size>))")
+          if (pop == 0) Array.empty[Long] else Blocking.bitBandKeys(words, p)
+        }
+      case graft.NoBlocking => (_, _) => Array(0L)
+      case graft.MinhashBlocking(_) => throw new IllegalArgumentException(
+        "minhash banding needs the gram sets, which a CLK file no longer carries — " +
+          "use BitBandBlocking (bit-sampling LSH over the filter) or NoBlocking")
+    }
     clks.select(col("recId").cast("long"), col("clk"), col("pop").cast("int"))
       .as[(Long, Array[Byte], Int)]
       .map { case (recId, clk, pop) =>
-        val words = BitVector.fromBytes(clk)
-        val keys = if (pop == 0) Array.empty[Long] else Blocking.bitBandKeys(words, p)
-        EncodedRecord(dsetId, recId, s"clk:$recId", clk, pop, keys)
+        EncodedRecord(dsetId, recId, s"clk:$recId", clk, pop,
+          keyFn(BitVector.fromBytes(clk), pop))
       }
   }
 
   /** Convenience: score two CLK files against each other with the
-    * standard pipeline tail (explode → salt → Dice kernel → dedup →
-    * top-k) — the Spark form of the reference's canonical
-    * "load two CLK JSONs, find candidate pairs" flow. */
+    * standard pipeline tail ([[Linkage.candidatePairsFromEncoded]]:
+    * explode → salt → Dice kernel → per-block top-k restoration →
+    * dedup → global `_enforce_k`) — the Spark form of the reference's
+    * canonical "load two CLK JSONs, find candidate pairs" flow.
+    * Honors `params.blocking` (BitBand or NoBlocking; see
+    * [[toEncoded]]). */
   def candidatePairs(spark: SparkSession, path0: String, path1: String,
       params: graft.LinkageParams): DataFrame = {
-    val enc = toEncoded(readJson(spark, path0), 0,
-      bitParamsOf(params)).union(toEncoded(readJson(spark, path1), 1, bitParamsOf(params)))
-    val blocked = Linkage.blockAndSalt(enc, params)
-    graft.cand.Candidates.finalize(Linkage.scorePairs(blocked, params), params.k)
+    val enc = toEncoded(readJson(spark, path0), 0, params.blocking)
+      .union(toEncoded(readJson(spark, path1), 1, params.blocking))
+    Linkage.candidatePairsFromEncoded(enc, params)
   }
-
-  private def bitParamsOf(params: graft.LinkageParams): BitBandParams =
-    params.blocking match {
-      case graft.BitBandBlocking(p) => p
-      case _ => BitBandParams()
-    }
 }

@@ -61,6 +61,49 @@ class ClkJsonSourceSpec extends AnyFunSuite {
     ()
   }
 
+  test("writeJson guards: empty set emits [], non-dense recIds are rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("clkjson_guard").toString
+    // empty → a valid empty array, not a phantom "" record
+    ClkJsonSource.writeJson(Seq.empty[(Long, Array[Byte])].toDF("recId", "clk"),
+      s"$dir/empty.json")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/empty.json")) == "{\"clks\": []}")
+    assert(ClkJsonSource.readJson(spark, s"$dir/empty.json").count() == 0)
+    // position IS identity in this format: hash-style recIds must fail
+    // loudly instead of being silently renumbered on read-back
+    val hashed = Seq((42L, Array[Byte](1, 2)), (7L, Array[Byte](3, 4)))
+      .toDF("recId", "clk")
+    intercept[IllegalArgumentException] {
+      ClkJsonSource.writeJson(hashed, s"$dir/bad.json")
+    }
+    ()
+  }
+
+  test("toEncoded: short CLKs fail loudly under default bit-banding; NoBlocking and " +
+    "custom bits work; MinhashBlocking is rejected") {
+    val short = Seq((0L, Array.fill[Byte](16)(1), 16)) // 128-bit CLK
+      .toDF("recId", "clk", "pop")
+    // default BitBandParams samples up to bit 1023 → must be an
+    // actionable error, not an executor ArrayIndexOutOfBounds
+    val e = intercept[org.apache.spark.SparkException] {
+      ClkJsonSource.toEncoded(short, 0).collect()
+    }
+    assert(e.getMessage.contains("BitBandParams") ||
+      Option(e.getCause).exists(_.getMessage.contains("BitBandParams")))
+    // right-sized params and NoBlocking both succeed
+    val sized = ClkJsonSource.toEncoded(short, 0,
+      BitBandBlocking(graft.block.BitBandParams(bits = 128))).collect()
+    assert(sized.length == 1 && sized.head.bandKeys.nonEmpty)
+    val none = ClkJsonSource.toEncoded(short, 0, NoBlocking).collect()
+    assert(none.head.bandKeys.sameElements(Array(0L)))
+    // minhash banding cannot be derived from a CLK file — reject, don't
+    // silently substitute bit-banding
+    intercept[IllegalArgumentException] {
+      ClkJsonSource.toEncoded(short, 0, MinhashBlocking())
+    }
+    ()
+  }
+
   test("two CLK JSON files through the pipeline: identical CLKs match at high threshold") {
     // dataset 0 and dataset 1 share CLKs 0..9 exactly; 10..19 differ
     val shared = clkBytes(0x5eedL, 10)
