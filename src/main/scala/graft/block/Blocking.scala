@@ -36,6 +36,14 @@ object Blocking {
 
   /** B1 bit-sampling band keys for one CLK. */
   def bitBandKeys(clk: Array[Long], p: BitBandParams): Array[Long] = {
+    // a CLK shorter than the sampled range would read past the array
+    // deep inside an executor task — fail with the actionable mismatch
+    // instead (reachable when ClkParams.bits and BitBandParams.bits
+    // are configured inconsistently, or external CLK files carry a
+    // smaller filter size than the blocking config assumes)
+    require(clk.length * 64 >= p.bits,
+      s"CLK has ${clk.length * 64} bits but BitBandParams.bits=${p.bits} — " +
+        "align the blocking config with the filter size")
     val out = new Array[Long](p.g)
     var t = 0
     while (t < p.g) {
