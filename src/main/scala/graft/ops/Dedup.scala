@@ -139,7 +139,7 @@ object Dedup {
       // ≤ m × #star-buckets candidates per partition — same collect
       // shape as the hot census above.
       def anchorKey(b: Long, id: Long): Long = Hashing.mix64(id ^ Hashing.mix64(b))
-      val partTop: Array[(Long, Long, Long)] = starRows.as[(Long, Long)]
+      val partTop = starRows.as[(Long, Long)]
         .mapPartitions { it =>
           val heaps = scala.collection.mutable.HashMap
             .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long)]]
@@ -153,11 +153,20 @@ object Dedup {
           heaps.iterator.flatMap { case (b, pq) =>
             pq.iterator.map { case (h, id) => (b, h, id) }
           }
-        }.collect()
-      val anchors: Map[Long, Array[Long]] = partTop
-        .groupBy(_._1).map { case (b, rs) =>
-          b -> rs.map(t => (t._2, t._3)).sorted.take(m).map(_._2).sorted
         }
+      // second-level reduce BEFORE the driver: per-partition tops are
+      // m × #buckets × #partitions rows — merge to the global per-
+      // bucket top-m distributively so the collect is exactly
+      // m × #star-buckets (the census collect times m, never scaled by
+      // partition count)
+      val anchors: Map[Long, Array[Long]] = partTop
+        .groupByKey(_._1)
+        .mapGroups { (b, it) =>
+          val top = it.map(t => (t._2, t._3)).toArray.sorted.take(m).map(_._2).sorted
+          (b, top)
+        }
+        .collect()
+        .toMap
       val anchorsB = spark.sparkContext.broadcast(anchors)
       // each unordered pair exactly ONCE: a member row pairs with every
       // anchor (members are not anchors), an ANCHOR row pairs only with
