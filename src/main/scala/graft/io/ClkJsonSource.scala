@@ -54,6 +54,18 @@ object ClkJsonSource {
   def readJsonl(spark: SparkSession, path: String): DataFrame =
     decoded(spark.read.json(path).select(col("recId"), col("clk").as("b64")))
 
+  /** STREAMING JSONL reader: the same schema + decode as [[readJsonl]]
+    * over a Structured Streaming file source — CLK handoff files
+    * dropped into `dir` are decoded on arrival (feed
+    * [[graft.streaming.StreamOps.matchClkStreamAgainstReference]] to
+    * match them incrementally). Streams need the schema declared up
+    * front; it is fixed by the format. */
+  def readJsonlStream(spark: SparkSession, dir: String): DataFrame =
+    decoded(spark.readStream
+      .schema("recId LONG, clk STRING")
+      .json(dir)
+      .select(col("recId"), col("clk").as("b64")))
+
   /** Write `(recId, clk binary)` rows as JSON Lines (at-scale layout,
     * one file per partition). Encodes with the plain JDK encoder in a
     * typed map: Spark's `base64()` emits 76-char MIME chunking with

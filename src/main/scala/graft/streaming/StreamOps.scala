@@ -57,6 +57,25 @@ object StreamOps {
     graft.Linkage.scoreAgainstBroadcast(clks, reference, params)
   }
 
+  /** Incremental linkage from a STREAM of already-encoded CLKs — the
+    * CLK-interop twin of [[matchAgainstReference]] for handoff files
+    * arriving on a directory ([[graft.io.ClkJsonSource
+    * .readJsonlStream]]'s `(recId, clk, pop)` shape). Each micro-batch
+    * is scored against the packed reference with the same broadcast
+    * kernel as the batch path, so stream results equal batch results
+    * on the same rows. */
+  def matchClkStreamAgainstReference(
+      clks: DataFrame,
+      reference: Array[graft.sim.ClkRow],
+      params: graft.LinkageParams): DataFrame = {
+    val spark = clks.sparkSession
+    import spark.implicits._
+    val rows = clks.select(col("recId").cast("long"), col("clk"), col("pop").cast("int"))
+      .as[(Long, Array[Byte], Int)]
+      .map { case (id, clk, pop) => graft.sim.ClkRow(id, clk, pop) }
+    graft.Linkage.scoreAgainstBroadcast(rows, reference, params)
+  }
+
   /** Pack a batch reference table for [[matchAgainstReference]]:
     * encode + collect. Broadcast-sized by contract — the guard keeps a
     * fat reference from silently OOMing the driver (1024-bit CLKs ≈

@@ -55,6 +55,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming CLK JSONL files match against a reference like the batch path") {
+    // CLK handoff files arriving on a dir (io.ClkJsonSource JSONL
+    // layout) → decode on entry → broadcast-kernel scoring; results
+    // must equal batch scoring of the same CLKs
+    val clks = (0 until 40).map { i =>
+      val w = gen.RandomClks.clkFor(i.toLong, 16, 0xabcdL)
+      (i.toLong, core.BitVector.toBytes(w))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-clkstream").toString
+    io.ClkJsonSource.writeJsonl(clks.toDF("recId", "clk"), dir)
+    // reference shares CLKs 0..9 exactly (self-matches at Dice 1.0)
+    val reference = clks.take(10).map { case (id, b) =>
+      sim.ClkRow(1000L + id, b, core.BitVector.popcount(core.BitVector.fromBytes(b)))
+    }.toArray
+    val params = LinkageParams(threshold = 0.99, k = Some(3))
+    val stream = io.ClkJsonSource.readJsonlStream(spark, dir)
+    val q = StreamOps.matchClkStreamAgainstReference(stream, reference, params)
+      .writeStream.outputMode("append").format("memory").queryName("clk_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("rec0", "rec1", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = canon(spark.table("clk_stream"))
+    val want = canon(StreamOps.matchClkStreamAgainstReference(
+      io.ClkJsonSource.readJsonl(spark, dir), reference, params))
+    assert(got == want, "stream != batch on the same CLK files")
+    (0 until 10).foreach { i =>
+      assert(got.exists { case (r0, r1, s) => r0 == i && r1 == 1000L + i && s == 1.0 },
+        s"self-match for shared CLK $i missing")
+    }
+  }
+
   test("streaming match-against-reference equals batch scoring on the same rows") {
     // reference = dataset 1; stream = dataset 0 pages arriving in files
     val all = gen.Corpus.labeledPages(spark, gen.Corpus.Params(entities = 40L, seed = 31L))
