@@ -43,7 +43,8 @@ object Blocking {
     // smaller filter size than the blocking config assumes)
     require(clk.length * 64 >= p.bits,
       s"CLK has ${clk.length * 64} bits but BitBandParams.bits=${p.bits} — " +
-        "align the blocking config with the filter size")
+        "align the blocking config with the filter size " +
+        "(e.g. BitBandBlocking(BitBandParams(bits = <your filter size>)))")
     val out = new Array[Long](p.g)
     var t = 0
     while (t < p.g) {

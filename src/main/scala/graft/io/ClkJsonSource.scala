@@ -38,10 +38,21 @@ object ClkJsonSource {
 
   /** Decode base64 → bytes + popcount. Pure Column ops: `unbase64`
     * and the codegen `popcount_bin` expression — no UDF, fully
-    * whole-stage-codegen once the rows exist. */
+    * whole-stage-codegen once the rows exist.
+    *
+    * Malformed rows (Spark's PERMISSIVE JSON parsing nulls the fields
+    * of a truncated/partially-written line) are DROPPED, not
+    * propagated: a null clk would otherwise throw inside the typed
+    * downstream consumers — fatal for a one-shot batch job, but on
+    * the STREAMING path ([[readJsonlStream]]) it would kill the
+    * long-running query and stop all subsequent files from matching.
+    * Skipping a corrupt record keeps the pipeline alive; producers
+    * needing strictness should validate files before dropping them
+    * into the watched dir. */
   private def decoded(b64: DataFrame): DataFrame =
-    b64.select(col("recId").cast("long").as("recId"),
-      unbase64(col("b64")).as("clk"))
+    b64.where(col("recId").isNotNull && col("b64").isNotNull)
+      .select(col("recId").cast("long").as("recId"),
+        unbase64(col("b64")).as("clk"))
       .withColumn("pop", graft.functions.BitFunctions.popcount_bin(col("clk")))
 
   /** Read the faithful `{"clks": [...]}` single-object format.
@@ -139,15 +150,12 @@ object ClkJsonSource {
     import spark.implicits._
     val keyFn: (Array[Long], Int) => Array[Long] = blocking match {
       case BitBandBlocking(p) =>
-        (words, pop) => {
-          // a CLK shorter than the sampled bit range would AIOOBE in
-          // the executor — clkhash supports filter sizes below the
-          // default 1024, so validate per row with an actionable error
-          require(words.length * 64 >= p.bits,
-            s"CLK has ${words.length * 64} bits but BitBandParams.bits=${p.bits} — " +
-              s"pass BitBandBlocking(BitBandParams(bits = <your filter size>))")
+        // undersized CLKs (clkhash supports sub-1024-bit filters) fail
+        // with Blocking.bitBandKeys' own actionable mismatch error —
+        // the guard lives at the shared lowest layer, covering the
+        // native encode path too
+        (words, pop) =>
           if (pop == 0) Array.empty[Long] else Blocking.bitBandKeys(words, p)
-        }
       case graft.NoBlocking => (_, _) => Array(0L)
       case graft.MinhashBlocking(_) => throw new IllegalArgumentException(
         "minhash banding needs the gram sets, which a CLK file no longer carries — " +

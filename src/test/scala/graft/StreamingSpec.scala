@@ -65,6 +65,11 @@ class StreamingSpec extends AnyFunSuite {
     }
     val dir = java.nio.file.Files.createTempDirectory("graft-clkstream").toString
     io.ClkJsonSource.writeJsonl(clks.toDF("recId", "clk"), dir)
+    // a truncated/partially-written line must not kill the streaming
+    // query — corrupt rows are dropped (see ClkJsonSource.decoded)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "corrupt.json"),
+      "{\"recId\": 999}\n{\"recId\": 998, \"clk\"")
     // reference shares CLKs 0..9 exactly (self-matches at Dice 1.0)
     val reference = clks.take(10).map { case (id, b) =>
       sim.ClkRow(1000L + id, b, core.BitVector.popcount(core.BitVector.fromBytes(b)))
