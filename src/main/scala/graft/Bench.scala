@@ -17,14 +17,21 @@ import graft.sim.{ClkRow, DiceKernel}
   *
   * Three measurements:
   *  1. headline SparkEntry queries at the driver-provided parallelism —
-  *     wall seconds each, STALL-ROBUST: after a neutral JIT warmup and
-  *     with session caches cleared before every sample, any query whose
-  *     first-pass time exceeds max(10 s, 3× the pass median) gets ONE
-  *     cold re-run; the artifact reports min(first, rerun) per query
-  *     plus the {first, rerun} pair and a stall count (`"stalls"`,
-  *     `"reruns"`), so a host stall is visible as rerun ≪ first instead
-  *     of silently owning the round. A query that THROWS records -1 (an
-  *     explicit error marker), never a fast-looking wall time;
+  *     wall seconds each, STALL-ROBUST with PER-SAMPLE HOST CANARIES:
+  *     after a neutral JIT warmup and with session caches cleared before
+  *     every sample, a ~0.25 s single-thread kernel canary runs
+  *     immediately before EACH sample and is recorded next to it; any
+  *     query whose sample exceeds max(10 s, 3× the pass median) gets a
+  *     cold re-run, ESCALATING to one more sample when the rerun itself
+  *     still exceeds the threshold (both landed in a degraded window).
+  *     The artifact reports min over samples per query, every sample
+  *     with its canary for re-sampled queries (`"reruns"`), a stall
+  *     count (`"stalls"`), and the winning sample's canary for every
+  *     query >10 s (`"query_canaries_mcps"`; bench.json has all
+  *     queries) — so the driver can distinguish "slow window" (canary
+  *     ≪ ~130 M) from "slow code" without trusting builder-side runs.
+  *     A query that THROWS records -1 (an explicit error marker), never
+  *     a fast-looking wall time;
   *  2. single-thread Dice-kernel micro-bench — comparisons/sec against
   *     the reference's ~134e6 cmp/s/core plateau at t=0.7
   *     (`/root/reference/README.rst:79-89`, methodology
@@ -65,13 +72,17 @@ object Bench {
     s
   }
 
+  private def randomClkRows(n: Int, seed: Long): Array[ClkRow] =
+    (0 until n).map { i =>
+      val w = RandomClks.clkFor(i.toLong, 16, seed)
+      ClkRow(0L, BitVector.toBytes(w), BitVector.popcount(w))
+    }.toArray
+
   /** Reference-methodology micro-bench: 1×N kernel loops, one thread. */
   private def kernelMicro(): Double = {
     val n = 8000
-    val a = (0 until n).map(i => RandomClks.clkFor(i.toLong, 16, 0xaaL))
-      .map(w => ClkRow(0L, BitVector.toBytes(w), BitVector.popcount(w))).toArray
-    val b = (0 until n).map(i => RandomClks.clkFor(i.toLong, 16, 0xbbL))
-      .map(w => ClkRow(0L, BitVector.toBytes(w), BitVector.popcount(w))).toArray
+    val a = randomClkRows(n, 0xaaL)
+    val b = randomClkRows(n, 0xbbL)
     // warmup for JIT, then best of 3 (the host is shared and noisy)
     DiceKernel.blockDiceTopK(a.take(1000), b.take(1000), 0.7, None, 0, 1).size
     var best = Double.MaxValue
@@ -81,6 +92,30 @@ object Bench {
       best = math.min(best, (System.nanoTime() - t0) / 1e9)
     }
     n.toDouble * n / best
+  }
+
+  /** Short single-thread HOST CANARY (~0.25 s on a healthy window): one
+    * timed pass of the same Dice kernel the micro-bench uses, run
+    * immediately BEFORE each headline query sample. The kernel's clean
+    * rate on this host is ~130-175 M cmp/s and is code-stable across
+    * rounds, so a canary ≪ 130 M printed NEXT TO a slow query sample
+    * proves the WINDOW (host interference), not the code, was slow —
+    * without trusting any side run. Inputs are built once and the JIT
+    * warmup runs once per process; each call after that is one timed
+    * kernel pass. */
+  private lazy val canaryInputs: (Array[ClkRow], Array[ClkRow]) = {
+    val n = 6000
+    val r = (randomClkRows(n, 0xccL), randomClkRows(n, 0xddL))
+    // one-time JIT warmup so the first canary is not a compile measurement
+    DiceKernel.blockDiceTopK(r._1.take(1000), r._2.take(1000), 0.7, None, 0, 1).size
+    r
+  }
+
+  private def hostCanary(): Double = {
+    val (a, b) = canaryInputs
+    val t0 = System.nanoTime()
+    DiceKernel.blockDiceTopK(a, b, 0.7, None, 0, 1).size
+    a.length.toDouble * b.length / ((System.nanoTime() - t0) / 1e9)
   }
 
   /** All-pairs scoring throughput at a given core count: two datasets
@@ -144,17 +179,21 @@ object Bench {
       .foreach(_.unpersist(blocking = false))
   }
 
-  /** One timed run of a headline query (cold session caches); a query
-    * that THROWS records -1 (an explicit error marker), never a
+  /** One headline-query sample: wall seconds + the host canary measured
+    * immediately before it (single thread, same JVM — see hostCanary).
+    * A query that THROWS records -1 (an explicit error marker), never a
     * fast-looking wall time. */
+  private case class Sample(sec: Double, canaryMcps: Double)
+
   private def timeQuery(spark: SparkSession, sfDir: String,
-      name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Sample = {
     resetSessionState(spark)
+    val canary = hostCanary() / 1e6
     val t0 = System.nanoTime()
-    try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+    try { fn(spark, sfDir).count(); Sample((System.nanoTime() - t0) / 1e9, canary) }
     catch { case e: Throwable =>
       System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
-      -1.0
+      Sample(-1.0, canary)
     }
   }
 
@@ -207,20 +246,38 @@ object Bench {
     val firstPass = qs0.map { case (name, fn) =>
       name -> timeQuery(spark, sfDir, name, fn)
     }
-    val okTimes = firstPass.collect { case (_, t) if t >= 0 => t }.sorted
+    val okTimes = firstPass.collect { case (_, s) if s.sec >= 0 => s.sec }.sorted
     val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.length / 2)
     val stallThreshold = math.max(10.0, 3.0 * median)
-    val reruns: Map[String, (Double, Double)] = firstPass.collect {
-      case (name, t) if t > stallThreshold =>
-        val fn = SparkEntry.queries(name)
-        name -> (t, timeQuery(spark, sfDir, name, fn))
-    }.toMap
-    val results = firstPass.map { case (name, t) =>
-      name -> (reruns.get(name) match {
-        case Some((f, r)) if r >= 0 => math.min(f, r)
-        case _ => t
-      })
+    // ESCALATING rerun: a query whose first pass exceeds the stall
+    // threshold gets ONE cold re-run; if the rerun ITSELF still exceeds
+    // the threshold (both samples landed in a degraded window — the
+    // round-4 dedup_minhash case), take one MORE sample. Every sample
+    // carries its own host canary, so the artifact distinguishes "slow
+    // window" (canary ≪ ~130 M next to the slow sample) from "slow
+    // code" (healthy canary, slow query on every sample) per query,
+    // without trusting any builder-side run.
+    val allSamples: Seq[(String, Seq[Sample])] = firstPass.map { case (name, s0) =>
+      val fn = SparkEntry.queries(name)
+      val samples = scala.collection.mutable.ArrayBuffer(s0)
+      var extra = 0
+      while (samples.last.sec > stallThreshold && extra < 2) {
+        samples += timeQuery(spark, sfDir, name, fn)
+        extra += 1
+      }
+      name -> samples.toSeq
     }
+    val results = allSamples.map { case (name, ss) =>
+      val ok = ss.filter(_.sec >= 0)
+      name -> (if (ok.isEmpty) -1.0 else ok.map(_.sec).min)
+    }
+    val reruns: Map[String, Seq[Sample]] =
+      allSamples.collect { case (n, ss) if ss.length > 1 => n -> ss }.toMap
+    // winning sample's canary per query (bench.json carries ALL samples)
+    val winningCanary: Map[String, Double] = allSamples.map { case (name, ss) =>
+      val ok = ss.filter(_.sec >= 0)
+      name -> (if (ok.isEmpty) ss.head.canaryMcps else ok.minBy(_.sec).canaryMcps)
+    }.toMap
     spark.stop()
 
     // 2. kernel micro-bench (single thread, no Spark)
@@ -339,12 +396,22 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    // stall annotations: per re-sampled query both samples, so the
-    // artifact itself shows whether a big first number was host noise
-    // (rerun ≪ first) or real work (rerun ≈ first)
-    val rerunJson = reruns.toSeq.sortBy(_._1).map { case (n, (f, r)) =>
-      "\"" + n + "\":" + f"""{"first":$f%.2f,"rerun":$r%.2f}"""
+    // stall annotations: per re-sampled query EVERY sample with its own
+    // host canary, so the artifact itself shows whether a big number was
+    // host noise (canary ≪ ~130 M next to the slow sample, rerun ≪
+    // first) or real work (healthy canaries, all samples slow)
+    val rerunJson = reruns.toSeq.sortBy(_._1).map { case (n, ss) =>
+      val samples = ss.map(s =>
+        f"""{"sec":${s.sec}%.2f,"canary_mcps":${s.canaryMcps}%.1f}""")
+        .mkString("[", ",", "]")
+      "\"" + n + "\":" + s"""{"samples":$samples}"""
     }.mkString("{", ",", "}")
+    // per-query winning-sample canary: stdout carries only the >10 s
+    // queries (compact line), bench.json carries every query
+    def canaryJson(all: Boolean): String =
+      results.collect { case (n, t) if all || t > 10.0 =>
+        "\"" + n + "\":" + f"${winningCanary(n)}%.1f"
+      }.mkString("{", ",", "}")
     // one line, two renditions: the stdout headline is COMPACT (per-pair
     // summaries only — the driver captures a bounded log tail, and a
     // multi-KB line gets truncated mid-JSON); bench.json carries the
@@ -355,6 +422,7 @@ object Bench {
         (if (detail) s""","thread_probe":$probeJson}""" else "}")
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,""" +
         s""""stalls":${reruns.size},"reruns":$rerunJson,""" +
+        s""""query_canaries_mcps":${canaryJson(all = detail)},""" +
         s""""errors":$errors,"sf":"$sfDir",""" +
         f""""kernel_cmp_per_sec":${kernelCps}%.0f,"scaling":$scaling}"""
     }

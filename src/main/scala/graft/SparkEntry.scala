@@ -287,12 +287,19 @@ object SparkEntry {
         .where(col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id0"), col("b.doc_id").as("id1"))
         .agg(count(lit(1)).as("inter"))
-      inter
+      // eager-and-release, same contract as Dedup.ngramJaccardPairs:
+      // materialize the result, then drop the gram-index cache so no
+      // pinned cache survives the call
+      val out = inter
         .join(sizes.select(col("doc_id").as("id0"), col("n").as("n0")), "id0")
         .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
         .withColumn("jaccard", col("inter") * 1.0 / (col("n0") + col("n1") - col("inter")))
         .where(col("jaccard") >= 0.3)
         .select("id0", "id1", "jaccard")
+        .cache()
+      out.count()
+      grams.unpersist()
+      out
     }),
     "q_quality_score" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),

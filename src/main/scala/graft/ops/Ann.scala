@@ -176,7 +176,9 @@ object Ann {
     * IVF queries — the fit (with its corpus `count()` + sample + KMeans
     * passes) runs once per corpus, not once per query batch; at 100 TB
     * the centroids live next to the corpus like any other index
-    * artifact. The key carries no corpus digest — regenerate (delete
+    * artifact. The key carries no corpus digest — callers going
+    * through [[ivfTopK]] get content verification (`verifyStore`)
+    * layered on top; direct users of this function regenerate (delete
     * the dir) when the corpus changes. */
   def fitOrLoadCentroids(
       corpusUnit: DataFrame,
@@ -200,6 +202,45 @@ object Ann {
     }
   }
 
+  /** Cheap corpus content signature for persisted-store staleness
+    * detection: (row count, sum of id hashes, sum of (id, vec) content
+    * hashes over the deterministic ~1/1024 row sample where
+    * xxhash64(id, salt) ≡ 0 mod 1024) — ONE order-independent
+    * aggregate, decimal sums so it is overflow-exact. Catches the
+    * silent-staleness cases metadata keys miss: a corpus rewritten
+    * in-place with preserved file names/sizes/mtimes, and regenerated
+    * embeddings under unchanged ids (the sampled rows hash vec
+    * CONTENT). Cost: one column-pruned aggregate scan — far cheaper
+    * than the refit + partitioned rewrite it guards, but not free; at
+    * true 100 TB scale callers who version their corpus paths can opt
+    * out (`verifyStore = false` keeps the bare metadata-key behavior). */
+  def corpusSignature(corpus: DataFrame, idCol: String, vecCol: String): String = {
+    val r = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .agg(
+        count(lit(1)),
+        sum(xxhash64(col("id")).cast("decimal(38,0)")),
+        sum(when(pmod(xxhash64(col("id"), lit(0x51e9L)), lit(1024)) === 0,
+          xxhash64(col("id"), col("vec"))).otherwise(lit(0L)).cast("decimal(38,0)")))
+      .head()
+    def d(i: Int) = if (r.isNullAt(i)) "0" else r.getDecimal(i).toBigInteger.toString
+    s"v1:${r.getLong(0)}:${d(1)}:${d(2)}"
+  }
+
+  private def readSmallText(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def writeSmallText(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** IVF-Flat top-k.
     *
     * With `centroidsDir` set (the at-scale default), BOTH index
@@ -211,9 +252,16 @@ object Ann {
     * At 100 TB that turns each query batch from a full corpus scan +
     * shuffle into a pruned scan of ~nProbe/nLists of the data with a
     * broadcast-able query side. The cell layout is keyed like the
-    * centroids (version, nLists, seed) — regenerate (delete the dir)
-    * when the corpus changes (callers key the dir by a corpus content
-    * signature, see `SparkEntry`).
+    * centroids (version, nLists, seed) AND stamped with a
+    * [[corpusSignature]] at build time; with `verifyStore` (the
+    * default) the warm path recomputes the signature and REBUILDS the
+    * whole store (centroids + cells) on mismatch — a corpus rewritten
+    * in place with preserved mtimes, or re-embedded under unchanged
+    * ids, refits instead of silently serving stale cells. A
+    * pre-signature store (no stamp file) is treated as stale once.
+    * `verifyStore = false` restores the bare metadata-key behavior
+    * (zero corpus scans on the warm path) for callers who version
+    * their corpus paths externally.
     *
     * Without a dir, assignment happens in-flight (small/ad-hoc
     * corpora). Either way the call evaluates eagerly and releases its
@@ -232,6 +280,9 @@ object Ann {
       /** persisted-index dir — see scaladoc; ignored when `centroids`
         * is supplied directly (no cell store without a dir). */
       centroidsDir: Option[String] = None,
+      /** content-verify the persisted store against the passed corpus
+        * (see scaladoc); ignored without `centroidsDir`. */
+      verifyStore: Boolean = true,
       tap: Dedup.Tap = Dedup.noTap): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -240,18 +291,39 @@ object Ann {
     // cached exactly when something will scan it more than once: the
     // in-flight path (fit + assignment) and the one-time store BUILD
     // (fit + partitioned write); the warm store path never normalizes
-    // the corpus at all
-    val storeInfo: Option[(String, org.apache.hadoop.fs.FileSystem, Boolean)] =
+    // the corpus at all (and with verifyStore pays exactly one
+    // signature aggregate)
+    var sigNow: Option[String] = None // computed at most once per call
+    def signature(): String = {
+      if (sigNow.isEmpty) sigNow = Some(corpusSignature(corpus, idCol, vecCol))
+      sigNow.get
+    }
+    val storeInfo: Option[(String, String, org.apache.hadoop.fs.FileSystem, Boolean)] =
       if (!useStore) None
       else {
-        val cellsPath = s"${centroidsDir.get}/ivf-cells-v1-k$nLists" +
-          s"-s${java.lang.Long.toHexString(seed)}.parquet"
+        val suffix = s"-v1-k$nLists-s${java.lang.Long.toHexString(seed)}"
+        val cellsPath = s"${centroidsDir.get}/ivf-cells$suffix.parquet"
+        val sigFile = s"${centroidsDir.get}/ivf-signature$suffix.txt"
         val fs = new org.apache.hadoop.fs.Path(cellsPath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        Some((cellsPath, fs,
-          fs.exists(new org.apache.hadoop.fs.Path(cellsPath, "_SUCCESS"))))
+        var exists = fs.exists(new org.apache.hadoop.fs.Path(cellsPath, "_SUCCESS"))
+        if (exists && verifyStore) {
+          val sigPath = new org.apache.hadoop.fs.Path(sigFile)
+          val stored = if (fs.exists(sigPath)) Some(readSmallText(fs, sigPath)) else None
+          if (!stored.contains(signature())) {
+            // stale (or unstamped) store: drop BOTH artifacts so the
+            // build path below refits the quantizer and relays the
+            // cells — never serve cells from a corpus this call did
+            // not receive
+            fs.delete(new org.apache.hadoop.fs.Path(cellsPath), true)
+            fs.delete(new org.apache.hadoop.fs.Path(
+              s"${centroidsDir.get}/ivf-centroids$suffix.parquet"), true)
+            exists = false
+          }
+        }
+        Some((cellsPath, sigFile, fs, exists))
       }
-    val needCorpusN = !useStore || storeInfo.exists(!_._3)
+    val needCorpusN = !useStore || storeInfo.exists(!_._4)
     val corpusN = if (needCorpusN) Some(normalized(corpus, idCol, vecCol).cache()) else None
     // coarse quantizer: precomputed centroids > persisted fit > fresh fit
     val cents = centroids.getOrElse(
@@ -288,7 +360,7 @@ object Ann {
       .cache()
 
     val assigned: DataFrame = storeInfo match {
-      case Some((cellsPath, fs, exists)) =>
+      case Some((cellsPath, sigFile, fs, exists)) =>
         if (!exists) {
           // build once: assign every corpus vector to its cell and lay
           // the corpus out cell-partitioned next to the centroids (the
@@ -297,6 +369,10 @@ object Ann {
             .map { case (id, v) => (id, v, nearestCells(v.toArray, 1).head) }
             .toDF("id", "unit", "cell")
             .write.mode("overwrite").partitionBy("cell").parquet(cellsPath)
+          // stamp the store with the corpus content signature so the
+          // next warm call can verify it (written last — a failed
+          // build leaves no stamp and is rebuilt)
+          writeSmallText(fs, new org.apache.hadoop.fs.Path(sigFile), signature())
         }
         // probe set: ≤ nLists distinct cells — enumerate exactly those
         // partition dirs (a probed cell can be corpus-empty → no dir)

@@ -418,13 +418,14 @@ object Dedup {
     * docs lowers inter and union by one each, so filtered Jaccard ≤
     * unfiltered for j < 1 — the cap only ever tightens membership.
     *
-    * Cache contract: the filtered gram index is cached for the three
-    * scans inside the returned LAZY plan (sizes + both join sides) and
-    * stays pinned until the caller's session drops it — callers doing
-    * repeated sweeps should `spark.catalog.clearCache()` between runs
-    * (Bench/Verify do, per query). The op stays lazy because its
-    * result is a pair stream, not a bounded cluster table like the
-    * eager near-dup ops above. */
+    * Cache contract: SAME eager-and-release convention as the other
+    * near-dup ops ([[minhashLsh]] etc.) — the filtered gram index is
+    * cached for the three scans inside the plan (sizes + both join
+    * sides), the RESULT is cached and materialized, and the gram index
+    * is unpersisted before returning, so nothing internal outlives the
+    * call; callers `unpersist()` the returned frame when done. The
+    * result is the thresholded pair set — the same cardinality class
+    * the eager embedding near-dup op already returns cached. */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
@@ -458,12 +459,16 @@ object Dedup {
       .where($"a.id" < $"b.id")
       .groupBy($"a.id".as("id0"), $"b.id".as("id1"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .join(sizes.select($"id".as("id0"), $"n".as("n0")), "id0")
       .join(sizes.select($"id".as("id1"), $"n".as("n1")), "id1")
       .withColumn("jaccard", $"inter" / ($"n0" + $"n1" - $"inter"))
       .where($"jaccard" >= threshold)
       .select($"id0", $"id1", $"jaccard")
+      .cache()
+    out.count()
+    grams.unpersist()
+    out
   }
 
   /** Embedding-cosine near-dup PAIRS: normalized vectors, LSH-bucketed

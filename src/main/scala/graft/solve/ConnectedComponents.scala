@@ -56,8 +56,16 @@ object ConnectedComponents {
       .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
       .distinct()
 
-    if (e.count() <= driverFinishThreshold) {
-      val arr = e.as[(Long, Long)].collect()
+    // ONE action for the gate: collect up to threshold+1 edges instead
+    // of count()-then-collect() — the count would execute the caller's
+    // full (uncached) upstream pipeline a second time just to learn the
+    // size the collect is about to reveal anyway. If the limit comes
+    // back full, the edge set is big: fall through to the iterative
+    // path (which re-scans, exactly as the old count-gated path did).
+    val gateLimit = math.min(driverFinishThreshold + 1, (Int.MaxValue - 1).toLong).toInt
+    val gathered = e.as[(Long, Long)].limit(gateLimit).collect()
+    if (gathered.length <= driverFinishThreshold) {
+      val arr = gathered
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

@@ -481,4 +481,92 @@ class OpsSpec extends AnyFunSuite {
     assert(Stats.nonmatchIndexScore(sorted, 1) == 2)
     assert(Stats.nonmatchIndexScore(sorted, 2) == -1)
   }
+
+  // ---------------- round-5 operational contracts ----------------
+
+  /** Count root SQL executions (AQE re-posts nested executions with a
+    * rootExecutionId pointing at the parent; only roots are actions). */
+  private def countRootActions(body: => Unit): Int = {
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+              if s.rootExecutionId.forall(_ == s.executionId) =>
+            execs.incrementAndGet(); ()
+          case _ => ()
+        }
+    }
+    org.apache.spark.graftlistener.drainListenerBus(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      org.apache.spark.graftlistener.drainListenerBus(spark.sparkContext)
+      execs.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("minhashLsh runs in exactly 3 root actions (census + fused CC gate + materialize)") {
+    // the round-4 pipeline ran 4: bucketPairs census, CC's e.count()
+    // gate, CC's collect, and the eager materialize — the count+collect
+    // executed the whole verify pipeline TWICE on the (always-taken at
+    // this scale) driver-finish path. Round 5 fuses the gate into one
+    // limit-collect; this pins the job-shrink so it cannot regress.
+    var out: org.apache.spark.sql.DataFrame = null
+    val n = countRootActions {
+      out = Dedup.minhashLsh(docs, "id", "text", jaccardThreshold = 0.35)
+    }
+    out.unpersist()
+    assert(n == 3, s"minhashLsh took $n root actions, expected 3 " +
+      "(bucketPairs census, fused CC limit-collect gate, eager materialize)")
+  }
+
+  test("ngramJaccardPairs releases its gram-index cache (eager-and-release contract)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val sample = docs.where($"id" <= 40)
+    val out = Dedup.ngramJaccardPairs(sample, "id", "text", threshold = 0.3)
+    val newIds = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(out.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "returned frame must be cached (eager contract)")
+    assert(newIds.size == 1,
+      s"exactly the returned frame's cache may survive the call; leaked RDD ids: $newIds")
+    out.unpersist(blocking = true)
+  }
+
+  test("IVF store content verification: corpus rewritten under the same dir " +
+      "triggers a refit, never stale cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfsig").toString
+    val freshDir = java.nio.file.Files.createTempDirectory("graft_ivfsig2").toString
+    // two corpora with DISJOINT id ranges: any stale-store leak is loud
+    // (result ids from the wrong range), independent of vector values
+    val corpusA = embeddings.where($"vec_id" < 150)
+    val corpusB = embeddings.where($"vec_id" >= 150 && $"vec_id" < 300)
+    val queries = embeddings.where($"vec_id" < 3)
+    def key(df: org.apache.spark.sql.DataFrame) = {
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      df.unpersist(); rows
+    }
+    // cold build against A, nProbe = nLists so every cell is probed
+    val a = key(Ann.ivfTopK(corpusA, queries, "vec_id", "embedding", k = 3,
+      nLists = 8, nProbe = 8, centroidsDir = Some(dir)))
+    assert(a.nonEmpty && a.forall(_._2 < 150), "build-run results must come from corpus A")
+    // warm call with corpus B through the SAME dir: the signature check
+    // must detect the swap (same store path, same key, different
+    // content — the mtime-style metadata key cannot see this) and
+    // rebuild; results must match a from-scratch B store bit-exactly
+    val b = key(Ann.ivfTopK(corpusB, queries, "vec_id", "embedding", k = 3,
+      nLists = 8, nProbe = 8, centroidsDir = Some(dir)))
+    assert(b.nonEmpty && b.forall(t => t._2 >= 150 && t._2 < 300),
+      s"stale cells served after corpus rewrite: ${b.filter(_._2 < 150).take(5)}")
+    val fresh = key(Ann.ivfTopK(corpusB, queries, "vec_id", "embedding", k = 3,
+      nLists = 8, nProbe = 8, centroidsDir = Some(freshDir)))
+    assert(b == fresh, "post-refit results differ from a fresh store build")
+    // the documented opt-out: verifyStore = false keeps the bare
+    // metadata-key behavior and (by design) serves the existing store
+    val stale = key(Ann.ivfTopK(corpusA, queries, "vec_id", "embedding", k = 3,
+      nLists = 8, nProbe = 8, centroidsDir = Some(dir), verifyStore = false))
+    assert(stale.forall(t => t._2 >= 150 && t._2 < 300),
+      "verifyStore=false must reuse the persisted store untouched")
+  }
 }
