@@ -334,6 +334,23 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       ops.Dedup.simhash(t(s, dir, "documents"), "doc_id", "text",
         tap = auxTap("dedup_simhash"))),
+    "dedup_scale" -> ((s, dir) => {
+      // driver-visible SCALE sample: 25k entities × 2 near-dup variants
+      // = 50k synthesized docs through the full minhash-LSH pipeline
+      // with the star-fanout default ON — the every-round, driver-
+      // checked form of the env-gated 500k run (GRAFT_HUGE_DEDUP),
+      // so the hot-bucket guards and the distributed CC tail are
+      // exercised by the official artifact, not only by sbt flags.
+      // Input is synthesized deterministically (fixed seed, independent
+      // of sf dir, per BASELINE.json's input hint); the oracle
+      // recomputes the CC + re-expansion + keeper tail from the dumped
+      // verified edges — hash-exact over all 50k rows.
+      val pages = Corpus.labeledPages(s, Corpus.Params(entities = 25000L,
+          seed = 307L, minVariants = 2, maxVariants = 2, perturbation = 0.03))
+        .select(Linkage.recIdCol(col("url")).as("doc_id"), col("text"))
+      ops.Dedup.minhashLsh(pages, "doc_id", "text", jaccardThreshold = 0.3,
+        tap = auxTap("dedup_scale"))
+    }),
     "embed_neardup" -> ((s, dir) =>
       // the driver's embeddings table has no true near-identical pairs
       // (max pairwise cosine ≈ 0.48) — 0.3 exercises the operator on
@@ -511,6 +528,19 @@ object SparkEntry {
         | w AS (SELECT id, rep FROM read_parquet('$oracleAuxDir/dedup_minhash_withrep/*.parquet')),
         | e AS (SELECT id0 AS a, id1 AS b
         |       FROM read_parquet('$oracleAuxDir/dedup_minhash_verified/*.parquet')
+        |       WHERE id0 <> id1),
+        | sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        | nodes AS (SELECT DISTINCT a AS n FROM sym),
+        | rch AS (SELECT n, n AS comp FROM nodes
+        |         UNION SELECT s.b, rch.comp FROM rch JOIN sym s ON s.a = rch.n AND rch.comp < s.b),
+        | comp AS (SELECT n, min(comp) AS comp FROM rch GROUP BY n),
+        | cl AS (SELECT w.id, coalesce(c.comp, w.rep) AS cid FROM w LEFT JOIN comp c ON w.rep = c.n)
+        | SELECT id, cid AS "clusterId", min(id) OVER (PARTITION BY cid) AS keeper FROM cl""".stripMargin,
+    "dedup_scale" ->
+      s"""WITH RECURSIVE
+        | w AS (SELECT id, rep FROM read_parquet('$oracleAuxDir/dedup_scale_withrep/*.parquet')),
+        | e AS (SELECT id0 AS a, id1 AS b
+        |       FROM read_parquet('$oracleAuxDir/dedup_scale_verified/*.parquet')
         |       WHERE id0 <> id1),
         | sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
         | nodes AS (SELECT DISTINCT a AS n FROM sym),

@@ -42,7 +42,13 @@ object BitOps {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      // a null element contributes 0 (explicitly — ArrayData.getFloat
+      // on a null slot would silently read garbage, not throw)
+      if (!a.isNullAt(i) && !b.isNullAt(i))
+        s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
     s
   }
 
@@ -107,6 +113,25 @@ case class DotProductFloat(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_float"
+
+  // declared input types so a mismatched column (array<double>, a
+  // struct, raw binary) fails at ANALYSIS time with a readable error —
+  // ArrayData.getFloat on a double array would silently misread the
+  // slots as garbage floats (the former UDF at least failed on
+  // deserialization). ExpectsInputTypes is private[sql] on this build,
+  // so the check is spelled directly. Null ELEMENTS are allowed
+  // (parquet-read array<float> is containsNull=true even when no
+  // nulls exist) and handled explicitly in the kernel.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    Seq(("left", left), ("right", right)).collectFirst {
+      case (side, e) if !e.dataType.isInstanceOf[ArrayType] ||
+          e.dataType.asInstanceOf[ArrayType].elementType != FloatType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float> inputs, but the $side argument is " +
+            s"${e.dataType.catalogString} (cast(x as array<float>) to convert)")
+    }.getOrElse(org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess)
+  }
 
   protected override def nullSafeEval(a: Any, b: Any): Any =
     BitOps.dotFloatArrays(

@@ -41,29 +41,48 @@ object ClkJsonSource {
     * whole-stage-codegen once the rows exist.
     *
     * Malformed rows (Spark's PERMISSIVE JSON parsing nulls the fields
-    * of a truncated/partially-written line) are DROPPED, not
-    * propagated: a null clk would otherwise throw inside the typed
-    * downstream consumers — fatal for a one-shot batch job, but on
-    * the STREAMING path ([[readJsonlStream]]) it would kill the
-    * long-running query and stop all subsequent files from matching.
-    * Skipping a corrupt record keeps the pipeline alive; producers
-    * needing strictness should validate files before dropping them
-    * into the watched dir. */
-  private def decoded(b64: DataFrame): DataFrame =
-    b64.where(col("recId").isNotNull && col("b64").isNotNull)
-      .select(col("recId").cast("long").as("recId"),
-        unbase64(col("b64")).as("clk"))
+    * of a truncated/partially-written line) are handled per surface,
+    * matching how each is consumed:
+    *  - BATCH readers ([[readJson]]/[[readJsonl]]) FAIL LOUDLY
+    *    (`strict = true`): the reference ecosystem's loaders raise on
+    *    a corrupt handoff file, and a one-shot job silently losing
+    *    records of a truncated interop file is data loss with no
+    *    signal.
+    *  - the STREAMING reader ([[readJsonlStream]]) DROPS and
+    *    continues (`strict = false`): one corrupt line must not kill
+    *    a long-running query and stop all subsequent files from
+    *    matching; producers needing strictness there validate files
+    *    before dropping them into the watched dir. */
+  private def decoded(b64: DataFrame, strict: Boolean): DataFrame = {
+    val malformed = col("recId").isNull || col("b64").isNull
+    // the strict check rides inside the SELECTED recId column (a
+    // raise_error branch), so column pruning can never optimize the
+    // guard away; the lenient path filters instead
+    val recId =
+      if (strict)
+        when(malformed, raise_error(lit(
+          "malformed CLK JSON record (null recId/clk): truncated or corrupt " +
+            "interop file — batch readers are strict; pre-validate the file, " +
+            "or use the streaming reader for drop-and-continue semantics")))
+          .otherwise(col("recId"))
+      else col("recId")
+    val base = if (strict) b64 else b64.where(!malformed)
+    base.select(recId.cast("long").as("recId"), unbase64(col("b64")).as("clk"))
       .withColumn("pop", graft.functions.BitFunctions.popcount_bin(col("clk")))
+  }
 
   /** Read the faithful `{"clks": [...]}` single-object format.
-    * recId = array position (reference parity). */
+    * recId = array position (reference parity). Strict: corrupt
+    * records raise (see [[decoded]]). */
   def readJson(spark: SparkSession, path: String): DataFrame =
     decoded(spark.read.option("multiLine", true).json(path)
-      .select(posexplode(col("clks")).as(Seq("recId", "b64"))))
+      .select(posexplode(col("clks")).as(Seq("recId", "b64"))), strict = true)
 
-  /** Read JSON Lines rows `{"recId": n, "clk": "<base64>"}`. */
+  /** Read JSON Lines rows `{"recId": n, "clk": "<base64>"}`. Strict:
+    * corrupt lines raise (see [[decoded]]). */
   def readJsonl(spark: SparkSession, path: String): DataFrame =
-    decoded(spark.read.json(path).select(col("recId"), col("clk").as("b64")))
+    decoded(spark.read.json(path).select(col("recId"), col("clk").as("b64")),
+      strict = true)
 
   /** STREAMING JSONL reader: the same schema + decode as [[readJsonl]]
     * over a Structured Streaming file source — CLK handoff files
@@ -75,7 +94,7 @@ object ClkJsonSource {
     decoded(spark.readStream
       .schema("recId LONG, clk STRING")
       .json(dir)
-      .select(col("recId"), col("clk").as("b64")))
+      .select(col("recId"), col("clk").as("b64")), strict = false)
 
   /** Write `(recId, clk binary)` rows as JSON Lines (at-scale layout,
     * one file per partition). Encodes with the plain JDK encoder in a
@@ -177,9 +196,22 @@ object ClkJsonSource {
     * Honors `params.blocking` (BitBand or NoBlocking; see
     * [[toEncoded]]). */
   def candidatePairs(spark: SparkSession, path0: String, path1: String,
+      params: graft.LinkageParams): DataFrame =
+    candidatePairs(spark, Seq(path0, path1), params)
+
+  /** Multiparty form: N CLK files, dataset index = list position.
+    * The blocking and scoring layers already handle N datasets (every
+    * ordered dataset pair i0 < i1 is scored, the reference's
+    * `itertools.combinations` semantics — `candidate_generation.py:
+    * 28-40`), so N files flow through the exact same pipeline tail as
+    * two; output `dset0`/`dset1` columns carry the file indices. */
+  def candidatePairs(spark: SparkSession, paths: Seq[String],
       params: graft.LinkageParams): DataFrame = {
-    val enc = toEncoded(readJson(spark, path0), 0, params.blocking)
-      .union(toEncoded(readJson(spark, path1), 1, params.blocking))
+    require(paths.length >= 2,
+      s"candidatePairs needs at least two CLK files, got ${paths.length}")
+    val enc = paths.zipWithIndex
+      .map { case (p, i) => toEncoded(readJson(spark, p), i, params.blocking) }
+      .reduce(_ union _)
     Linkage.candidatePairsFromEncoded(enc, params)
   }
 }

@@ -2,19 +2,29 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import graft.core.Hashing
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed batch-wise in
   * `mapPartitions` (the Scala analogue of a vectorized/pandas UDF:
-  * each partition iterator is consumed in fixed-size batches so a real
-  * decoder could amortize model/codec setup per batch).
+  * each partition iterator is consumed in fixed-size batches so a
+  * decoder can amortize codec/model setup per batch).
   *
-  * !!! The decode step itself is a STUB: no image/audio codecs exist in
-  * this container. `decodeStub` derives deterministic fake features
-  * from the bytes so the schema, partitioning, batch shape and
-  * downstream joins are real and testable; swap `decodeBatch` for a
-  * real codec (JNI/ONNX) without touching the plumbing. !!!
+  * Decoding is PLUGGABLE ([[MediaDecoder]]):
+  *  - [[ByteHistogramDecoder]] (default) — deterministic features from
+  *    a byte histogram. Total (any bytes), cheap, and exactly
+  *    reproducible in SQL, so it anchors the DuckDB oracle
+  *    (`multimodal_features`). It does NOT look at pixels.
+  *  - [[ImageDecoder]] — a REAL pixel decoder via `javax.imageio`
+  *    (PNG/BMP/GIF/JPEG ship with the JDK, pure JVM, headless-safe):
+  *    luminance histogram, channel means, dimensions, contrast and
+  *    gradient energy from the decoded raster. Rows that are not
+  *    decodable images (wrong mime, corrupt bytes) deterministically
+  *    FALL BACK to the byte-histogram features — at corpus scale one
+  *    truncated file must degrade one row, not kill the stage.
+  *
+  * Audio/video codecs still don't exist in this container, so
+  * [[sampleFrames]] remains a disclosed byte-range stub standing in
+  * for frame extraction; the image path is real end to end.
   */
 object Multimodal {
 
@@ -32,10 +42,18 @@ object Multimodal {
       col(mimeCol).as("mime")).as[MediaRow]
   }
 
-  /** STUB decode: deterministic pseudo-features from a byte-histogram
-    * + hash mix. Stands in for image decode / audio feature-extract. */
-  private def decodeBatch(batch: Array[MediaRow]): Array[FeatureRow] =
-    batch.map { r =>
+  /** Batch decode step — implementations must be deterministic and
+    * total (never throw on malformed rows; fall back or zero-fill). */
+  trait MediaDecoder extends Serializable {
+    def decode(batch: Array[MediaRow]): Array[FeatureRow]
+  }
+
+  /** Deterministic pseudo-features from a byte histogram: bucket counts
+    * of `byte mod FeatureDim`, normalized by length. Total over any
+    * bytes and SQL-reproducible — the oracle anchor and the fallback
+    * for undecodable rows. */
+  object ByteHistogramDecoder extends MediaDecoder {
+    def decodeOne(r: MediaRow): FeatureRow = {
       val feats = new Array[Float](FeatureDim)
       if (r.media != null && r.media.nonEmpty) {
         var i = 0
@@ -49,14 +67,95 @@ object Multimodal {
       }
       FeatureRow(r.id, r.mime, if (r.media == null) 0L else r.media.length.toLong, feats)
     }
+    override def decode(batch: Array[MediaRow]): Array[FeatureRow] =
+      batch.map(decodeOne)
+  }
 
-  /** Batched feature extraction over partitions — the real Spark-side
-    * plumbing (schema in/out, batch shape); only `decodeBatch` is fake. */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[FeatureRow] = {
+  /** Real image feature extraction on the decoded pixel raster
+    * (`javax.imageio` — JDK-bundled PNG/BMP/GIF/JPEG readers, no
+    * native codecs). 16 features:
+    *  - 0..7   luminance histogram (8 bins, fraction of pixels)
+    *  - 8..10  mean R, G, B in [0, 1]
+    *  - 11,12  width, height scaled by 1/4096 (clamped at 1)
+    *  - 13     aspect = w / (w + h)
+    *  - 14     contrast: luminance standard deviation / 255
+    *  - 15     horizontal gradient energy: mean |lum(x+1,y) − lum(x,y)| / 255
+    * Non-image mimes and undecodable bytes fall back to
+    * [[ByteHistogramDecoder]] features for that row (deterministic —
+    * the fallback depends only on the row's bytes). */
+  object ImageDecoder extends MediaDecoder {
+    // ImageIO's disk-backed stream cache costs a temp file per decode;
+    // executor-side we always decode from an in-memory byte array
+    private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try {
+        // ImageIO.read(ImageInputStream) CLOSES the stream itself (its
+        // documented exception to the no-close convention) — closing it
+        // again here would throw IOException("closed") on every row
+        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        Option(javax.imageio.ImageIO.read(in))
+      } catch { case _: Throwable => None }
+
+    def decodeOne(r: MediaRow): FeatureRow = {
+      val img =
+        if (r.media == null || r.media.isEmpty ||
+          r.mime == null || !r.mime.startsWith("image/")) None
+        else readImage(r.media)
+      img match {
+        case None => ByteHistogramDecoder.decodeOne(r)
+        case Some(im) =>
+          val w = im.getWidth; val h = im.getHeight
+          val feats = new Array[Float](FeatureDim)
+          var sumR = 0.0; var sumG = 0.0; var sumB = 0.0
+          var sumL = 0.0; var sumL2 = 0.0; var grad = 0.0
+          var gradN = 0L
+          var y = 0
+          var prevL = 0.0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = im.getRGB(x, y)
+              val cr = (rgb >> 16) & 0xff; val cg = (rgb >> 8) & 0xff; val cb = rgb & 0xff
+              // ITU-R BT.601 luma weights
+              val lum = 0.299 * cr + 0.587 * cg + 0.114 * cb
+              sumR += cr; sumG += cg; sumB += cb
+              sumL += lum; sumL2 += lum * lum
+              feats(math.min(7, (lum / 32.0).toInt)) += 1.0f
+              if (x > 0) { grad += math.abs(lum - prevL); gradN += 1 }
+              prevL = lum
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          var b = 0
+          while (b < 8) { feats(b) /= n; b += 1 }
+          feats(8) = (sumR / n / 255.0).toFloat
+          feats(9) = (sumG / n / 255.0).toFloat
+          feats(10) = (sumB / n / 255.0).toFloat
+          feats(11) = math.min(1.0, w / 4096.0).toFloat
+          feats(12) = math.min(1.0, h / 4096.0).toFloat
+          feats(13) = (w.toDouble / (w + h)).toFloat
+          val meanL = sumL / n
+          feats(14) = (math.sqrt(math.max(0.0, sumL2 / n - meanL * meanL)) / 255.0).toFloat
+          feats(15) = (if (gradN == 0) 0.0 else grad / gradN / 255.0).toFloat
+          FeatureRow(r.id, r.mime, r.media.length.toLong, feats)
+      }
+    }
+    override def decode(batch: Array[MediaRow]): Array[FeatureRow] =
+      batch.map(decodeOne)
+  }
+
+  /** Batched feature extraction over partitions — schema in/out and
+    * batch shape are decoder-independent; pick the decoder per call
+    * (byte-histogram oracle anchor by default, [[ImageDecoder]] for
+    * real pixels). */
+  def extractFeatures(media: Dataset[MediaRow],
+      decoder: MediaDecoder = ByteHistogramDecoder): Dataset[FeatureRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      it.grouped(BatchSize).flatMap(g => decodeBatch(g.toArray))
+      it.grouped(BatchSize).flatMap(g => decoder.decode(g.toArray))
     }
   }
 

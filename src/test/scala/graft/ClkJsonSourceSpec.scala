@@ -129,4 +129,61 @@ class ClkJsonSourceSpec extends AnyFunSuite {
       assert(r0 == r1 && r0 < 10 && sim == 1.0, s"unexpected pair ($r0,$r1,$sim)")
     }
   }
+
+  test("batch readers are STRICT: a corrupt JSONL line raises instead of silently dropping") {
+    val clks = clkBytes(0x9badL, 3)
+    val dir = java.nio.file.Files.createTempDirectory("clkjson_strict")
+    val lines = clks.zipWithIndex.map { case (b, i) =>
+      s"""{"recId": $i, "clk": "${java.util.Base64.getEncoder.encodeToString(b)}"}"""
+    } :+ """{"recId": 3, "clk": """ // truncated mid-write: PERMISSIVE nulls the fields
+    java.nio.file.Files.writeString(dir.resolve("part.jsonl"), lines.mkString("\n"))
+    val e = intercept[Exception] {
+      ClkJsonSource.readJsonl(spark, dir.resolve("part.jsonl").toString).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("truncated or corrupt")),
+      s"expected the strict reader's error, got: $e")
+    // the streaming reader keeps drop-and-continue semantics on the
+    // same bytes (pinned separately in StreamingSpec's corrupt-line
+    // resilience test)
+  }
+
+  test("multiparty: 3 CLK files produce all dataset-pair combinations, " +
+      "identical to the batch pipeline on the same CLKs") {
+    // three files sharing CLKs 0..4 pairwise (identical bytes), plus
+    // per-file unique tails
+    val shared = clkBytes(0x3abcL, 5)
+    def tail(seed: Long) = clkBytes(seed, 12).drop(5)
+    val dir = java.nio.file.Files.createTempDirectory("clkjson_multi").toString
+    val fileClks = Seq(0x111L, 0x222L, 0x333L).map(s => shared ++ tail(s))
+    val paths = fileClks.zipWithIndex.map { case (cs, i) =>
+      val p = s"$dir/f$i.json"
+      ClkJsonSource.writeJson(
+        cs.zipWithIndex.map { case (b, j) => (j.toLong, b) }.toDF("recId", "clk"), p)
+      p
+    }
+    val params = LinkageParams(blocking = BitBandBlocking(), threshold = 0.99, k = Some(3))
+    val got = ClkJsonSource.candidatePairs(spark, paths, params)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getDouble(0)))
+    // all combinations(3, 2) dataset pairs appear (each shared CLK
+    // self-matches across every file pair)
+    val dsetPairs = got.map(t => (t._1, t._2)).toSet
+    assert(dsetPairs == Set((0, 1), (0, 2), (1, 2)),
+      s"expected all 3 dataset-pair combinations, got $dsetPairs")
+    for (d0 <- 0 to 1; d1 <- (d0 + 1) to 2; i <- 0 until 5)
+      assert(got.exists(t => t._1 == d0 && t._2 == d1 && t._3 == i && t._4 == i && t._5 == 1.0),
+        s"self-match for shared CLK $i missing on dataset pair ($d0,$d1)")
+    // equivalence: the in-memory batch pipeline over the SAME encoded
+    // records (union of the three files' CLKs with dataset indices)
+    // must yield the exact same candidate stream
+    val enc = fileClks.zipWithIndex.map { case (cs, i) =>
+      ClkJsonSource.toEncoded(
+        ClkJsonSource.readJson(spark, paths(i)), i, params.blocking)
+    }.reduce(_ union _)
+    val batch = Linkage.candidatePairsFromEncoded(enc, params)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getDouble(0)))
+    assert(got.sorted.toSeq == batch.sorted.toSeq,
+      "multiparty file flow diverged from the batch pipeline")
+  }
 }

@@ -569,4 +569,68 @@ class OpsSpec extends AnyFunSuite {
     assert(stale.forall(t => t._2 >= 150 && t._2 < 300),
       "verifyStore=false must reuse the persisted store untouched")
   }
+
+  test("ImageDecoder: real PNG pixels decode to golden features; undecodable rows fall back") {
+    import Multimodal._
+    def png(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val red = png(8, 4)((_, _) => 0xff0000)
+    val checker = png(8, 8)((x, y) => if ((x + y) % 2 == 0) 0xffffff else 0x000000)
+    val corrupt = Array[Byte](1, 2, 3)
+    val rows = Seq(
+      MediaRow(1L, red, "image/png"),
+      MediaRow(2L, checker, "image/png"),
+      MediaRow(3L, corrupt, "image/png"), // undecodable bytes -> fallback
+      MediaRow(4L, red, "application/pdf")) // non-image mime -> fallback
+    val out = extractFeatures(spark.createDataset(rows), ImageDecoder)
+      .collect().map(r => r.id -> r).toMap
+
+    // all-red 8x4: meanR=1, meanG=meanB=0; red luma 76.245 -> bin 2;
+    // zero contrast and zero horizontal gradient; dims + aspect exact
+    val fr = out(1L).features
+    assert(math.abs(fr(8) - 1.0f) < 1e-3 && fr(9) < 1e-3 && fr(10) < 1e-3)
+    assert(fr(2) == 1.0f, s"red luminance bin: ${fr.toSeq}")
+    assert(math.abs(fr(11) - 8f / 4096) < 1e-6 && math.abs(fr(12) - 4f / 4096) < 1e-6)
+    assert(math.abs(fr(13) - 8f / 12) < 1e-6)
+    assert(fr(14) < 1e-6 && fr(15) < 1e-6)
+
+    // black/white checkerboard: half the pixels in luma bin 0, half in
+    // bin 7; contrast = 127.5/255 = 0.5; every horizontal step flips
+    // 0<->255 so gradient energy = 1.0
+    val fc = out(2L).features
+    assert(math.abs(fc(0) - 0.5f) < 1e-6 && math.abs(fc(7) - 0.5f) < 1e-6)
+    assert(math.abs(fc(14) - 0.5f) < 1e-3)
+    assert(math.abs(fc(15) - 1.0f) < 1e-3)
+
+    // fallback rows carry EXACTLY the byte-histogram features (the
+    // deterministic total fallback), not zeros and not an exception
+    assert(out(3L).features.toSeq ==
+      ByteHistogramDecoder.decodeOne(rows(2)).features.toSeq)
+    assert(out(4L).features.toSeq ==
+      ByteHistogramDecoder.decodeOne(rows(3)).features.toSeq)
+    // n_bytes is the raw payload size either way
+    assert(out(3L).n_bytes == 3L && out(1L).n_bytes == red.length.toLong)
+  }
+
+  test("dot_float: non-float arrays fail at analysis; null elements contribute zero") {
+    import graft.functions.BitFunctions
+    // array<double> against array<float> must be an ANALYSIS error,
+    // not garbage floats silently misread from the double slots
+    val mixed = Seq((Seq(1.0f, 2.0f), Seq(3.0, 4.0))).toDF("f", "d")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      mixed.select(BitFunctions.dot_float($"f", $"d")).collect()
+    }
+    assert(e.getMessage.contains("array<float>"), s"unhelpful error: ${e.getMessage}")
+    // null ELEMENTS (legal in parquet-read array<float>) are explicit
+    // zero contributions, never misread slots
+    val withNulls = Seq((Seq[Option[Float]](Some(1.0f), None, Some(2.0f)),
+      Seq[Option[Float]](Some(10.0f), Some(5.0f), Some(3.0f)))).toDF("a", "b")
+    val v = withNulls.select(BitFunctions.dot_float($"a", $"b")).head.getDouble(0)
+    assert(v == 1.0 * 10 + 2 * 3, s"got $v")
+  }
 }

@@ -84,9 +84,20 @@ class StreamingSpec extends AnyFunSuite {
       df.select("rec0", "rec1", "sim").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val got = canon(spark.table("clk_stream"))
-    val want = canon(StreamOps.matchClkStreamAgainstReference(
-      io.ClkJsonSource.readJsonl(spark, dir), reference, params))
+    // batch parity on the GOOD files only: the batch reader is STRICT
+    // by design (it raises on the corrupt file the streaming reader
+    // skips), so parity is computed against the good JSONL parts
+    val goodFiles = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".json") && f.getName != "corrupt.json")
+      .map(_.toString).toSeq
+    val goodBatch = goodFiles.map(f => io.ClkJsonSource.readJsonl(spark, f))
+      .reduce(_ unionByName _)
+    val want = canon(StreamOps.matchClkStreamAgainstReference(goodBatch, reference, params))
     assert(got == want, "stream != batch on the same CLK files")
+    // and the batch reader indeed refuses the corrupt file loudly
+    intercept[Exception] {
+      io.ClkJsonSource.readJsonl(spark, s"$dir/corrupt.json").collect()
+    }
     (0 until 10).foreach { i =>
       assert(got.exists { case (r0, r1, s) => r0 == i && r1 == 1000L + i && s == 1.0 },
         s"self-match for shared CLK $i missing")
@@ -216,5 +227,108 @@ class StreamingSpec extends AnyFunSuite {
       // every doc is reachable in the band's pair graph (CC can merge)
       assert(ps.flatMap(p => Seq(p._2, p._3)).distinct.length == 10)
     }
+  }
+
+  test("checkpoint recovery: CLK stream restarts from its offset log with " +
+      "no lost and no duplicated match pairs") {
+    // phase 1 processes file A, the query stops (the stand-in for a
+    // crash — recovery reads only the checkpoint, which a crash also
+    // leaves behind); file B arrives while the query is down; phase 2
+    // restarts from the SAME checkpoint + sink. Exactly-once: A is not
+    // re-emitted, B is picked up, and the file sink's transaction log
+    // exposes only committed batches.
+    val base = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(inDir).mkdirs()
+    val clks = (0 until 40).map { i =>
+      val w = gen.RandomClks.clkFor(i.toLong, 16, 0xcafeL)
+      (i.toLong, core.BitVector.toBytes(w))
+    }
+    val reference = clks.map { case (id, b) =>
+      sim.ClkRow(1000L + id, b, core.BitVector.popcount(core.BitVector.fromBytes(b)))
+    }.toArray
+    val params = LinkageParams(threshold = 0.99, k = Some(3))
+    def writeFile(name: String, rows: Seq[(Long, Array[Byte])]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(inDir, name),
+        rows.map { case (id, b) =>
+          s"""{"recId": $id, "clk": "${java.util.Base64.getEncoder.encodeToString(b)}"}"""
+        }.mkString("\n"))
+    def runOnce(): Unit = {
+      val q = StreamOps.matchClkStreamAgainstReference(
+        io.ClkJsonSource.readJsonlStream(spark, inDir), reference, params)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    writeFile("a.jsonl", clks.take(20))
+    runOnce()
+    val afterA = spark.read.parquet(outDir)
+      .select("rec0", "rec1", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(afterA.map(_._1).toSet == (0L until 20L).toSet, "phase 1 incomplete")
+    writeFile("b.jsonl", clks.drop(20))
+    runOnce()
+    val all = spark.read.parquet(outDir)
+      .select("rec0", "rec1", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every CLK self-matches its reference twin exactly ONCE — a
+    // restart that re-read file A would duplicate rows 0..19, one that
+    // lost the offset log would miss 20..39
+    val grouped = all.groupBy(_._1)
+    (0L until 40L).foreach { i =>
+      val mine = grouped.getOrElse(i, Array.empty[(Long, Long, Double)])
+      assert(mine.count(m => m._2 == 1000L + i && m._3 == 1.0) == 1,
+        s"recId $i: expected exactly one self-match, got ${mine.toSeq}")
+    }
+    // full-set parity with the one-shot batch computation
+    val want = StreamOps.matchClkStreamAgainstReference(
+      io.ClkJsonSource.readJsonl(spark, s"$inDir/a.jsonl")
+        .unionByName(io.ClkJsonSource.readJsonl(spark, s"$inDir/b.jsonl")),
+      reference, params)
+      .select("rec0", "rec1", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(all.toSet == want.toSet && all.length == want.length,
+      "restarted stream != one-shot batch on the same files")
+  }
+
+  test("checkpoint recovery: near-dup bucket STATE survives a restart " +
+      "(cross-restart pairs emitted once, equal to batch banding)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ckpt-nd").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val docs = gen.Corpus.labeledPages(spark, gen.Corpus.Params(entities = 30L, seed = 77L))
+      .select(xxhash64(col("url")).as("doc_id"), col("text"))
+    docs.where(pmod(col("doc_id"), lit(2)) === 0).write.parquet(s"$inDir/f0")
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(docs.schema).parquet(s"$inDir/f*")
+      val q = StreamOps.nearDupCandidatesOnEntry(stream, "doc_id", "text")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce() // phase 1: even doc_ids populate the bucket state
+    docs.where(pmod(col("doc_id"), lit(2)) =!= 0).write.parquet(s"$inDir/f1")
+    runOnce() // phase 2: odd doc_ids arrive after the restart
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+    // batch oracle: same-band-key pairs over the full corpus
+    val mh = block.MinhashParams()
+    val clk = graft.encode.ClkParams()
+    val banded = docs.as[(Long, String)].collect().flatMap { case (id, text) =>
+      block.Blocking.minhashBandKeys(graft.encode.ClkEncoder.ngramHashes(text, clk), mh)
+        .map(k => (k, id))
+    }
+    val want = banded.groupBy(_._1).values.flatMap { members =>
+      val ids = members.map(_._2).distinct
+      for (i <- ids.indices; j <- (i + 1) until ids.length)
+        yield (math.min(ids(i), ids(j)), math.max(ids(i), ids(j)))
+    }.toSet
+    assert(got.toSet == want, s"restarted stream pairs ${got.toSet.size} vs batch ${want.size}")
+    // the load-bearing half: pairs BETWEEN an even (pre-restart) and an
+    // odd (post-restart) doc exist — they require the bucket state
+    // restored from the checkpoint, not just source offsets
+    val crossRestart = got.filter(p => (p._1 % 2 == 0) != (p._2 % 2 == 0))
+    assert(crossRestart.nonEmpty, "no cross-restart pairs: bucket state was lost")
   }
 }
