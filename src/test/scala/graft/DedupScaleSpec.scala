@@ -45,4 +45,27 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(f1 >= 0.95, f"pairwise F1 $f1%.4f < 0.95 (P=$precision%.4f R=$recall%.4f)")
     assert(wallMin < 25.0, f"HUGE dedup took $wallMin%.1f min — scale regression")
   }
+
+  test("driver-scale corpus (dedup_scale, 50k docs): minhash-LSH recovers the " +
+      "planted entities at pairwise F1 >= 0.99 — ungated, every run") {
+    // EXACTLY the corpus SparkEntry's `dedup_scale` query synthesizes
+    // (same seed + params): the driver hash-checks that query's cluster
+    // table against the DuckDB CC-tail oracle; this spec adds the
+    // SEMANTIC claim — those clusters recover the planted near-dup
+    // entities — without an env flag, so it runs every round.
+    val pages = gen.Corpus.labeledPages(spark, gen.Corpus.Params(
+      entities = 25000L, seed = 307L, minVariants = 2, maxVariants = 2,
+      perturbation = 0.03))
+      .select(Linkage.recIdCol(col("url")).as("doc_id"), col("text"), col("entityId"))
+      .cache()
+    assert(pages.count() == 50000L)
+    val clusters = Dedup.minhashLsh(pages, "doc_id", "text", jaccardThreshold = 0.3)
+    val truth = pages.select(lit(0).as("dsetId"), col("doc_id").as("recId"), col("entityId"))
+    val pred = clusters.select(lit(0).as("dsetId"), col("id").as("recId"), col("clusterId"))
+    val row = solve.Evaluation.pairwise(truth, pred).collect().head
+    val (precision, recall, f1) = (row.getDouble(3), row.getDouble(4), row.getDouble(5))
+    clusters.unpersist(); pages.unpersist()
+    info(f"P=$precision%.4f R=$recall%.4f F1=$f1%.4f")
+    assert(f1 >= 0.99, f"pairwise F1 $f1%.4f < 0.99 (P=$precision%.4f R=$recall%.4f)")
+  }
 }
