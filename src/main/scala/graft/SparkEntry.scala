@@ -288,18 +288,20 @@ object SparkEntry {
         .groupBy(col("a.doc_id").as("id0"), col("b.doc_id").as("id1"))
         .agg(count(lit(1)).as("inter"))
       // eager-and-release, same contract as Dedup.ngramJaccardPairs:
-      // materialize the result, then drop the gram-index cache so no
-      // pinned cache survives the call
-      val out = inter
-        .join(sizes.select(col("doc_id").as("id0"), col("n").as("n0")), "id0")
-        .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
-        .withColumn("jaccard", col("inter") * 1.0 / (col("n0") + col("n1") - col("inter")))
-        .where(col("jaccard") >= 0.3)
-        .select("id0", "id1", "jaccard")
-        .cache()
-      out.count()
-      grams.unpersist()
-      out
+      // materialize the result, then drop the gram-index cache (in
+      // finally — a failed materialization must not pin it) so no
+      // cache survives the call
+      try {
+        val out = inter
+          .join(sizes.select(col("doc_id").as("id0"), col("n").as("n0")), "id0")
+          .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+          .withColumn("jaccard", col("inter") * 1.0 / (col("n0") + col("n1") - col("inter")))
+          .where(col("jaccard") >= 0.3)
+          .select("id0", "id1", "jaccard")
+          .cache()
+        out.count()
+        out
+      } finally grams.unpersist()
     }),
     "q_quality_score" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),

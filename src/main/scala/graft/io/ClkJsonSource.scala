@@ -55,19 +55,24 @@ object ClkJsonSource {
     *    before dropping them into the watched dir. */
   private def decoded(b64: DataFrame, strict: Boolean): DataFrame = {
     val malformed = col("recId").isNull || col("b64").isNull
-    // the strict check rides inside the SELECTED recId column (a
-    // raise_error branch), so column pruning can never optimize the
-    // guard away; the lenient path filters instead
-    val recId =
+    // the strict check is a FILTER predicate (raise_error branch in the
+    // condition), NOT a guarded projected column: a projected guard
+    // would sit in a prunable Project, and a consumer that never reads
+    // that column (count(), select("clk")) would silently skip the
+    // check — Catalyst's ColumnPruning removes unused deterministic
+    // columns, and RaiseError is deterministic. A Filter's condition
+    // is evaluated for every row regardless of which columns the
+    // consumer keeps.
+    val base =
       if (strict)
-        when(malformed, raise_error(lit(
+        b64.where(when(malformed, raise_error(lit(
           "malformed CLK JSON record (null recId/clk): truncated or corrupt " +
             "interop file — batch readers are strict; pre-validate the file, " +
             "or use the streaming reader for drop-and-continue semantics")))
-          .otherwise(col("recId"))
-      else col("recId")
-    val base = if (strict) b64 else b64.where(!malformed)
-    base.select(recId.cast("long").as("recId"), unbase64(col("b64")).as("clk"))
+          .otherwise(lit(true)))
+      else b64.where(!malformed)
+    base.select(col("recId").cast("long").as("recId"),
+      unbase64(col("b64")).as("clk"))
       .withColumn("pop", graft.functions.BitFunctions.popcount_bin(col("clk")))
   }
 

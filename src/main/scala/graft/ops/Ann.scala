@@ -202,29 +202,29 @@ object Ann {
     }
   }
 
-  /** Cheap corpus content signature for persisted-store staleness
-    * detection: (row count, sum of id hashes, sum of (id, vec) content
-    * hashes over the deterministic ~1/1024 row sample where
-    * xxhash64(id, salt) ≡ 0 mod 1024) — ONE order-independent
-    * aggregate, decimal sums so it is overflow-exact. Catches the
-    * silent-staleness cases metadata keys miss: a corpus rewritten
-    * in-place with preserved file names/sizes/mtimes, and regenerated
-    * embeddings under unchanged ids (the sampled rows hash vec
-    * CONTENT). Cost: one column-pruned aggregate scan — far cheaper
-    * than the refit + partitioned rewrite it guards, but not free; at
-    * true 100 TB scale callers who version their corpus paths can opt
-    * out (`verifyStore = false` keeps the bare metadata-key behavior). */
+  /** Corpus content signature for persisted-store staleness detection:
+    * (row count, order-independent sum of per-row (id, vec) content
+    * hashes) — ONE aggregate, decimal sum so it is overflow-exact.
+    * EVERY row's vector content is hashed (no sampling: the aggregate
+    * scans every row anyway, hashing is cheap next to the IO, and a
+    * sampled digest would miss re-embedded rows on corpora smaller
+    * than the sample stride). Catches the silent-staleness cases
+    * metadata keys miss: a corpus rewritten in-place with preserved
+    * file names/sizes/mtimes, and regenerated embeddings under
+    * unchanged ids. Cost: one two-column aggregate scan per verified
+    * call — far cheaper than the refit + partitioned rewrite it
+    * guards, but not free; at true 100 TB scale callers who version
+    * their corpus paths can opt out (`verifyStore = false` keeps the
+    * bare metadata-key behavior). */
   def corpusSignature(corpus: DataFrame, idCol: String, vecCol: String): String = {
     val r = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .agg(
         count(lit(1)),
-        sum(xxhash64(col("id")).cast("decimal(38,0)")),
-        sum(when(pmod(xxhash64(col("id"), lit(0x51e9L)), lit(1024)) === 0,
-          xxhash64(col("id"), col("vec"))).otherwise(lit(0L)).cast("decimal(38,0)")))
+        sum(xxhash64(col("id"), col("vec")).cast("decimal(38,0)")))
       .head()
     def d(i: Int) = if (r.isNullAt(i)) "0" else r.getDecimal(i).toBigInteger.toString
-    s"v1:${r.getLong(0)}:${d(1)}:${d(2)}"
+    s"v2:${r.getLong(0)}:${d(1)}"
   }
 
   private def readSmallText(fs: org.apache.hadoop.fs.FileSystem,
@@ -307,18 +307,29 @@ object Ann {
         val fs = new org.apache.hadoop.fs.Path(cellsPath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         var exists = fs.exists(new org.apache.hadoop.fs.Path(cellsPath, "_SUCCESS"))
-        if (exists && verifyStore) {
-          val sigPath = new org.apache.hadoop.fs.Path(sigFile)
-          val stored = if (fs.exists(sigPath)) Some(readSmallText(fs, sigPath)) else None
-          if (!stored.contains(signature())) {
-            // stale (or unstamped) store: drop BOTH artifacts so the
-            // build path below refits the quantizer and relays the
-            // cells — never serve cells from a corpus this call did
-            // not receive
-            fs.delete(new org.apache.hadoop.fs.Path(cellsPath), true)
-            fs.delete(new org.apache.hadoop.fs.Path(
-              s"${centroidsDir.get}/ivf-centroids$suffix.parquet"), true)
-            exists = false
+        val centsPath = new org.apache.hadoop.fs.Path(
+          s"${centroidsDir.get}/ivf-centroids$suffix.parquet")
+        if (verifyStore) {
+          if (exists) {
+            val sigPath = new org.apache.hadoop.fs.Path(sigFile)
+            val stored = if (fs.exists(sigPath)) Some(readSmallText(fs, sigPath)) else None
+            if (!stored.contains(signature())) {
+              // stale (or unstamped) store: drop BOTH artifacts so the
+              // build path below refits the quantizer and relays the
+              // cells — never serve cells from a corpus this call did
+              // not receive
+              fs.delete(new org.apache.hadoop.fs.Path(cellsPath), true)
+              fs.delete(centsPath, true)
+              exists = false
+            }
+          } else {
+            // no committed cells but a centroids snapshot may exist (a
+            // crashed earlier build, or a fitOrLoadCentroids-only dir):
+            // those centroids were fit on a corpus nobody verified —
+            // delete them so the build below refits from THIS corpus
+            // instead of stamping a foreign quantizer as verified
+            fs.delete(centsPath, true)
+            fs.delete(new org.apache.hadoop.fs.Path(sigFile), false)
           }
         }
         Some((cellsPath, sigFile, fs, exists))
@@ -396,15 +407,19 @@ object Ann {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("cosine"), asc("id"))
     // uniform eager contract: materialize the (small) top-k result so
-    // every internal cache can be released before returning
-    val out = scored.select("query_id", "id", "cosine")
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .cache()
-    out.count()
-    corpusN.foreach(_.unpersist())
-    qAssigned.unpersist()
-    out
+    // every internal cache can be released before returning (in
+    // finally — a failed materialization must not pin them)
+    try {
+      val out = scored.select("query_id", "id", "cosine")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+        .cache()
+      out.count()
+      out
+    } finally {
+      corpusN.foreach(_.unpersist())
+      qAssigned.unpersist()
+    }
   }
 
   /** LSH-bucketed top-k: `tables` independent hyperplane tables; probe

@@ -345,12 +345,15 @@ object Dedup {
     // returns, sigs and pairs are fully consumed; the result is then
     // cached + materialized so withRep can be released too — nothing
     // internal outlives the call (see the scaladoc contract).
-    val comps = ConnectedComponents.run(
-      tap("verified", verified).select($"id0".as("src"), $"id1".as("dst")))
-    val out = expandReps(withRep, comps).cache()
-    out.count()
-    withRep.unpersist(); sigs.unpersist(); pairs.unpersist()
-    out
+    // release in finally: a failed materialization (executor OOM, task
+    // abort) must not leave the internal caches pinned in the session
+    try {
+      val comps = ConnectedComponents.run(
+        tap("verified", verified).select($"id0".as("src"), $"id1".as("dst")))
+      val out = expandReps(withRep, comps).cache()
+      out.count()
+      out
+    } finally { withRep.unpersist(); sigs.unpersist(); pairs.unpersist() }
   }
 
   /** SimHash near-dup: exact pre-collapse → 64-bit simhash, banded
@@ -396,12 +399,13 @@ object Dedup {
       .where($"hamming" <= maxHamming)
       .select($"id0", $"id1")
 
-    val comps = ConnectedComponents.run(
-      tap("verified", verified).select($"id0".as("src"), $"id1".as("dst")))
-    val out = expandReps(withRep, comps).cache()
-    out.count()
-    withRep.unpersist(); sigs.unpersist(); pairs.unpersist()
-    out
+    try {
+      val comps = ConnectedComponents.run(
+        tap("verified", verified).select($"id0".as("src"), $"id1".as("dst")))
+      val out = expandReps(withRep, comps).cache()
+      out.count()
+      out
+    } finally { withRep.unpersist(); sigs.unpersist(); pairs.unpersist() }
   }
 
   /** Direct exact n-gram Jaccard pairs via gram-inverted-index
@@ -459,16 +463,17 @@ object Dedup {
       .where($"a.id" < $"b.id")
       .groupBy($"a.id".as("id0"), $"b.id".as("id1"))
       .agg(count(lit(1)).as("inter"))
-    val out = inter
-      .join(sizes.select($"id".as("id0"), $"n".as("n0")), "id0")
-      .join(sizes.select($"id".as("id1"), $"n".as("n1")), "id1")
-      .withColumn("jaccard", $"inter" / ($"n0" + $"n1" - $"inter"))
-      .where($"jaccard" >= threshold)
-      .select($"id0", $"id1", $"jaccard")
-      .cache()
-    out.count()
-    grams.unpersist()
-    out
+    try {
+      val out = inter
+        .join(sizes.select($"id".as("id0"), $"n".as("n0")), "id0")
+        .join(sizes.select($"id".as("id1"), $"n".as("n1")), "id1")
+        .withColumn("jaccard", $"inter" / ($"n0" + $"n1" - $"inter"))
+        .where($"jaccard" >= threshold)
+        .select($"id0", $"id1", $"jaccard")
+        .cache()
+      out.count()
+      out
+    } finally grams.unpersist()
   }
 
   /** Embedding-cosine near-dup PAIRS: normalized vectors, LSH-bucketed
@@ -514,14 +519,15 @@ object Dedup {
     val cand = tap("cands", bucketPairs(vecs.select($"bucket", $"id"), pairBudget, starFanout))
     val u0 = units.select($"id".as("id0"), $"unit".as("u0"))
     val u1 = units.select($"id".as("id1"), $"unit".as("u1"))
-    val out = cand.join(u0, "id0").join(u1, "id1")
-      .withColumn("cosine", Ann.dot($"u0", $"u1"))
-      .where($"cosine" >= cosineThreshold)
-      .select($"id0", $"id1", $"cosine")
-      .cache()
-    out.count()
-    vecs.unpersist()
-    out
+    try {
+      val out = cand.join(u0, "id0").join(u1, "id1")
+        .withColumn("cosine", Ann.dot($"u0", $"u1"))
+        .where($"cosine" >= cosineThreshold)
+        .select($"id0", $"id1", $"cosine")
+        .cache()
+      out.count()
+      out
+    } finally vecs.unpersist()
   }
 
   /** Shared tail: pairs → CC clusters → keeper = min id per cluster.

@@ -111,10 +111,17 @@ object Multimodal {
           var gradN = 0L
           var y = 0
           var prevL = 0.0
+          // bulk scanline reads: per-pixel getRGB(x, y) pays a
+          // ColorModel conversion PER CALL (~16.7M calls on a 4096²
+          // image); one getRGB per row does the same conversion
+          // vectorized, ~an order of magnitude cheaper in the per-row
+          // decode path
+          val rowBuf = new Array[Int](w)
           while (y < h) {
+            im.getRGB(0, y, w, 1, rowBuf, 0, w)
             var x = 0
             while (x < w) {
-              val rgb = im.getRGB(x, y)
+              val rgb = rowBuf(x)
               val cr = (rgb >> 16) & 0xff; val cg = (rgb >> 8) & 0xff; val cb = rgb & 0xff
               // ITU-R BT.601 luma weights
               val lum = 0.299 * cr + 0.587 * cg + 0.114 * cb

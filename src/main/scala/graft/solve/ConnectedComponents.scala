@@ -64,7 +64,12 @@ object ConnectedComponents {
     // path (which re-scans, exactly as the old count-gated path did).
     val gateLimit = math.min(driverFinishThreshold + 1, (Int.MaxValue - 1).toLong).toInt
     val gathered = e.as[(Long, Long)].limit(gateLimit).collect()
-    if (gathered.length <= driverFinishThreshold) {
+    // driver-finish only when the limited collect came back NOT full: a
+    // full collect means more edges exist beyond the limit (including
+    // the clamped case driverFinishThreshold + 1 > Int.MaxValue - 1,
+    // where length <= threshold would hold on a TRUNCATED edge set and
+    // label components from incomplete data)
+    if (gathered.length < gateLimit) {
       val arr = gathered
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {

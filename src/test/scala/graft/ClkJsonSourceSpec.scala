@@ -137,13 +137,21 @@ class ClkJsonSourceSpec extends AnyFunSuite {
       s"""{"recId": $i, "clk": "${java.util.Base64.getEncoder.encodeToString(b)}"}"""
     } :+ """{"recId": 3, "clk": """ // truncated mid-write: PERMISSIVE nulls the fields
     java.nio.file.Files.writeString(dir.resolve("part.jsonl"), lines.mkString("\n"))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
     val e = intercept[Exception] {
       ClkJsonSource.readJsonl(spark, dir.resolve("part.jsonl").toString).collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("truncated or corrupt")),
       s"expected the strict reader's error, got: $e")
+    // the guard must survive COLUMN PRUNING: count() keeps no columns,
+    // so a guard hidden in a projected column would be optimized away
+    // and the corrupt row would silently vanish from the count
+    val e2 = intercept[Exception] {
+      ClkJsonSource.readJsonl(spark, dir.resolve("part.jsonl").toString).count()
+    }
+    assert(messages(e2).exists(_.contains("truncated or corrupt")),
+      s"strict guard was pruned away under count(): $e2")
     // the streaming reader keeps drop-and-continue semantics on the
     // same bytes (pinned separately in StreamingSpec's corrupt-line
     // resilience test)

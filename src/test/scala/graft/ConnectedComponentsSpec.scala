@@ -114,27 +114,11 @@ class ConnectedComponentsSpec extends AnyFunSuite {
 
   test("driver-finish gate is ONE root action (fused limit-collect, no count-then-collect)") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
-    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
-        e match {
-          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
-              if s.rootExecutionId.forall(_ == s.executionId) =>
-            execs.incrementAndGet(); ()
-          case _ => ()
-        }
-    }
-    org.apache.spark.graftlistener.drainListenerBus(spark.sparkContext)
-    spark.sparkContext.addSparkListener(listener)
-    val res =
-      try {
-        val r = ConnectedComponents.run(edges)
-        org.apache.spark.graftlistener.drainListenerBus(spark.sparkContext)
-        assert(execs.get() == 1,
-          s"small-graph CC must execute its upstream ONCE (saw ${execs.get()} root actions) — " +
-            "a count()-then-collect() gate runs the caller's whole uncached pipeline twice")
-        r
-      } finally spark.sparkContext.removeSparkListener(listener)
+    var res: org.apache.spark.sql.DataFrame = null
+    val n = SparkTestBase.countRootActions { res = ConnectedComponents.run(edges) }
+    assert(n == 1,
+      s"small-graph CC must execute its upstream ONCE (saw $n root actions) — " +
+        "a count()-then-collect() gate runs the caller's whole uncached pipeline twice")
     val cl = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cl(1L) == 1L && cl(2L) == 1L && cl(3L) == 1L && cl(10L) == 10L && cl(11L) == 10L)
   }

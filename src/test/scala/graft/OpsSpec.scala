@@ -484,27 +484,8 @@ class OpsSpec extends AnyFunSuite {
 
   // ---------------- round-5 operational contracts ----------------
 
-  /** Count root SQL executions (AQE re-posts nested executions with a
-    * rootExecutionId pointing at the parent; only roots are actions). */
-  private def countRootActions(body: => Unit): Int = {
-    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
-        e match {
-          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
-              if s.rootExecutionId.forall(_ == s.executionId) =>
-            execs.incrementAndGet(); ()
-          case _ => ()
-        }
-    }
-    org.apache.spark.graftlistener.drainListenerBus(spark.sparkContext)
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      body
-      org.apache.spark.graftlistener.drainListenerBus(spark.sparkContext)
-      execs.get()
-    } finally spark.sparkContext.removeSparkListener(listener)
-  }
+  private def countRootActions(body: => Unit): Int =
+    SparkTestBase.countRootActions(body)
 
   test("minhashLsh runs in exactly 3 root actions (census + fused CC gate + materialize)") {
     // the round-4 pipeline ran 4: bucketPairs census, CC's e.count()
@@ -562,6 +543,15 @@ class OpsSpec extends AnyFunSuite {
     val fresh = key(Ann.ivfTopK(corpusB, queries, "vec_id", "embedding", k = 3,
       nLists = 8, nProbe = 8, centroidsDir = Some(freshDir)))
     assert(b == fresh, "post-refit results differ from a fresh store build")
+    // re-embedded under UNCHANGED ids: vectors change, ids and row
+    // count do not — only the per-row CONTENT hash can see this
+    val reembedded = corpusB.withColumn("embedding", reverse($"embedding"))
+    val r1 = key(Ann.ivfTopK(reembedded, queries, "vec_id", "embedding", k = 3,
+      nLists = 8, nProbe = 8, centroidsDir = Some(dir)))
+    val freshDir2 = java.nio.file.Files.createTempDirectory("graft_ivfsig3").toString
+    val r2 = key(Ann.ivfTopK(reembedded, queries, "vec_id", "embedding", k = 3,
+      nLists = 8, nProbe = 8, centroidsDir = Some(freshDir2)))
+    assert(r1 == r2, "re-embedded corpus under unchanged ids served stale cells")
     // the documented opt-out: verifyStore = false keeps the bare
     // metadata-key behavior and (by design) serves the existing store
     val stale = key(Ann.ivfTopK(corpusA, queries, "vec_id", "embedding", k = 3,

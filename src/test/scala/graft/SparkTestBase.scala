@@ -14,4 +14,28 @@ object SparkTestBase {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Count root SQL executions (= actions) during `body`. AQE re-posts
+    * nested executions with a rootExecutionId pointing at the parent;
+    * only roots are counted. Shared by the action-count contract specs
+    * (OpsSpec, ConnectedComponentsSpec, EvaluationSpec-style). */
+  def countRootActions(body: => Unit): Int = {
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+              if s.rootExecutionId.forall(_ == s.executionId) =>
+            execs.incrementAndGet(); ()
+          case _ => ()
+        }
+    }
+    org.apache.spark.graftlistener.drainListenerBus(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      org.apache.spark.graftlistener.drainListenerBus(spark.sparkContext)
+      execs.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
