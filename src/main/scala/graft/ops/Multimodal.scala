@@ -22,9 +22,18 @@ import org.apache.spark.sql.functions._
   *    FALL BACK to the byte-histogram features — at corpus scale one
   *    truncated file must degrade one row, not kill the stage.
   *
-  * Audio/video codecs still don't exist in this container, so
+  *  - [[AudioDecoder]] — a REAL audio decoder for PCM WAV (RIFF
+  *    parsed by hand — no codecs needed): RMS/peak amplitude,
+  *    zero-crossing rate, duration, envelope, roughness, silence
+  *    fraction from the actual samples; same deterministic
+  *    byte-histogram fallback for non-WAV bytes.
+  *  - [[AutoDecoder]] — mime-dispatching combination of the above,
+  *    the production default for mixed-media corpora.
+  *
+  * Compressed audio/video codecs don't exist in this container, so
   * [[sampleFrames]] remains a disclosed byte-range stub standing in
-  * for frame extraction; the image path is real end to end.
+  * for video frame extraction; the image and PCM-audio paths are real
+  * end to end.
   */
 object Multimodal {
 
@@ -151,6 +160,131 @@ object Multimodal {
     }
     override def decode(batch: Array[MediaRow]): Array[FeatureRow] =
       batch.map(decodeOne)
+  }
+
+  /** Real audio feature extraction from PCM WAV bytes, parsed with a
+    * dependency-free RIFF reader (chunk walk → `fmt ` → `data`;
+    * little-endian PCM 16-bit or 8-bit, any channel count — the
+    * format every JVM can read without codecs). 16 features:
+    *  - 0      RMS amplitude (full-scale normalized)
+    *  - 1      peak amplitude
+    *  - 2      zero-crossing rate (fraction of sample steps)
+    *  - 3      duration, scaled by 1/600 s (clamped at 1)
+    *  - 4      sample rate / 48000 (clamped at 1)
+    *  - 5      channels / 8
+    *  - 6..13  8-segment RMS envelope across the clip
+    *  - 14     roughness: mean |x[i] − x[i−1]| (full-scale)
+    *  - 15     silence fraction (|x| < 1% full scale)
+    * Non-audio mimes and unparseable bytes fall back to
+    * [[ByteHistogramDecoder]] features for that row, like
+    * [[ImageDecoder]]. Multi-channel audio is analyzed interleaved
+    * (per-sample stream), which preserves determinism and energy
+    * measures. */
+  object AudioDecoder extends MediaDecoder {
+    /** Parse PCM WAV → (samples in [-1, 1], sampleRate, channels). */
+    private[ops] def parseWav(b: Array[Byte]): Option[(Array[Float], Int, Int)] = {
+      try {
+        if (b.length < 44) return None
+        def u16(o: Int) = ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8))
+        def u32(o: Int) = ((b(o) & 0xff).toLong | ((b(o + 1) & 0xff).toLong << 8) |
+          ((b(o + 2) & 0xff).toLong << 16) | ((b(o + 3) & 0xff).toLong << 24))
+        def tag(o: Int) = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+        var off = 12
+        var fmt: Option[(Int, Int, Int)] = None // (audioFormat, channels, bits) + rate below
+        var rate = 0
+        var data: Option[(Int, Int)] = None // (offset, len)
+        while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+          val id = tag(off)
+          val len = u32(off + 4).toInt
+          if (len < 0 || off + 8 + len > b.length) return None
+          if (id == "fmt " && len >= 16) {
+            fmt = Some((u16(off + 8), u16(off + 10), u16(off + 22)))
+            rate = u32(off + 12).toInt
+          } else if (id == "data") data = Some((off + 8, len))
+          off += 8 + len + (len & 1) // chunks are word-aligned
+        }
+        (fmt, data) match {
+          case (Some((1, ch, bits)), Some((dOff, dLen)))
+              if (bits == 16 || bits == 8) && ch >= 1 && rate > 0 =>
+            val bytesPer = bits / 8
+            val n = dLen / bytesPer
+            val out = new Array[Float](n)
+            var i = 0
+            while (i < n) {
+              out(i) =
+                if (bits == 16) (((b(dOff + 2 * i + 1) << 8) |
+                  (b(dOff + 2 * i) & 0xff)).toShort / 32768.0f)
+                else (((b(dOff + i) & 0xff) - 128) / 128.0f) // 8-bit WAV is unsigned
+              i += 1
+            }
+            Some((out, rate, ch))
+          case _ => None
+        }
+      } catch { case _: Throwable => None }
+    }
+
+    def decodeOne(r: MediaRow): FeatureRow = {
+      val parsed =
+        if (r.media == null || r.media.isEmpty ||
+          r.mime == null || !r.mime.startsWith("audio/")) None
+        else parseWav(r.media)
+      parsed match {
+        case None => ByteHistogramDecoder.decodeOne(r)
+        case Some((x, rate, ch)) if x.nonEmpty =>
+          val feats = new Array[Float](FeatureDim)
+          var sum2 = 0.0; var peak = 0.0; var zc = 0L; var rough = 0.0
+          var silent = 0L
+          var i = 0
+          while (i < x.length) {
+            val v = x(i)
+            sum2 += v.toDouble * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (math.abs(v) < 0.01) silent += 1
+            if (i > 0) {
+              if ((x(i - 1) < 0 && v >= 0) || (x(i - 1) >= 0 && v < 0)) zc += 1
+              rough += math.abs(v - x(i - 1))
+            }
+            i += 1
+          }
+          val n = x.length
+          feats(0) = math.sqrt(sum2 / n).toFloat
+          feats(1) = peak.toFloat
+          feats(2) = (if (n > 1) zc.toDouble / (n - 1) else 0.0).toFloat
+          feats(3) = math.min(1.0, n.toDouble / ch / rate / 600.0).toFloat
+          feats(4) = math.min(1.0, rate / 48000.0).toFloat
+          feats(5) = math.min(1.0f, ch / 8.0f)
+          var s = 0
+          while (s < 8) {
+            val lo = (n.toLong * s / 8).toInt
+            val hi = math.max(lo + 1, (n.toLong * (s + 1) / 8).toInt)
+            var e = 0.0
+            var j = lo
+            while (j < hi) { e += x(j).toDouble * x(j); j += 1 }
+            feats(6 + s) = math.sqrt(e / (hi - lo)).toFloat
+            s += 1
+          }
+          feats(14) = (if (n > 1) rough / (n - 1) else 0.0).toFloat
+          feats(15) = silent.toFloat / n
+          FeatureRow(r.id, r.mime, r.media.length.toLong, feats)
+        case Some(_) => ByteHistogramDecoder.decodeOne(r) // empty data chunk
+      }
+    }
+    override def decode(batch: Array[MediaRow]): Array[FeatureRow] =
+      batch.map(decodeOne)
+  }
+
+  /** Mime-dispatching decoder: image mimes → [[ImageDecoder]],
+    * audio mimes → [[AudioDecoder]], everything else (and any decode
+    * failure, via each decoder's own fallback) → byte-histogram
+    * features. The production default for mixed-media corpora. */
+  object AutoDecoder extends MediaDecoder {
+    override def decode(batch: Array[MediaRow]): Array[FeatureRow] =
+      batch.map { r =>
+        if (r.mime != null && r.mime.startsWith("image/")) ImageDecoder.decodeOne(r)
+        else if (r.mime != null && r.mime.startsWith("audio/")) AudioDecoder.decodeOne(r)
+        else ByteHistogramDecoder.decodeOne(r)
+      }
   }
 
   /** Batched feature extraction over partitions — schema in/out and

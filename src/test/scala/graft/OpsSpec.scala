@@ -623,4 +623,47 @@ class OpsSpec extends AnyFunSuite {
     val v = withNulls.select(BitFunctions.dot_float($"a", $"b")).head.getDouble(0)
     assert(v == 1.0 * 10 + 2 * 3, s"got $v")
   }
+
+  test("AudioDecoder: golden PCM WAV (440 Hz sine) decodes to closed-form features; " +
+      "AutoDecoder dispatches by mime") {
+    import Multimodal._
+    // hand-build a 1 s mono 8 kHz PCM16 WAV of a 440 Hz sine at half
+    // full scale — every asserted feature has a closed form
+    val rate = 8000; val n = rate; val amp = 16384.0
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(2 * n)
+    (0 until n).foreach { i =>
+      bb.putShort(math.round(amp * math.sin(2 * math.Pi * 440 * i / rate)).toShort)
+    }
+    val wav = bb.array()
+    val rows = Seq(
+      MediaRow(1L, wav, "audio/wav"),
+      MediaRow(2L, wav, "image/png"), // wrong mime family -> image path -> fallback
+      MediaRow(3L, Array[Byte](82, 73, 70, 70, 0, 0), "audio/wav")) // truncated RIFF
+    val out = extractFeatures(spark.createDataset(rows), AutoDecoder)
+      .collect().map(r => r.id -> r.features).toMap
+
+    val f = out(1L)
+    // sine RMS = amp/sqrt(2) of full scale = 0.3536; peak = 0.5
+    assert(math.abs(f(0) - (amp / 32768 / math.sqrt(2))) < 1e-3, s"rms ${f(0)}")
+    assert(math.abs(f(1) - amp / 32768) < 1e-3, s"peak ${f(1)}")
+    // zero crossings: 2 per cycle x 440 cycles over 7999 steps
+    assert(math.abs(f(2) - 880.0 / 7999) < 1e-3, s"zcr ${f(2)}")
+    assert(math.abs(f(3) - 1.0 / 600) < 1e-6, s"duration ${f(3)}")
+    assert(math.abs(f(4) - 8000.0 / 48000) < 1e-6 && f(5) == 1.0f / 8)
+    // stationary sine: every envelope segment equals the global RMS
+    (6 to 13).foreach(s => assert(math.abs(f(s) - f(0)) < 2e-3, s"env seg $s: ${f(s)}"))
+    // silence fraction: |sin| < 0.02 of its amplitude ~ 2*asin(.02)/pi
+    assert(f(15) < 0.03, s"silence ${f(15)}")
+
+    // wrong mime family and truncated bytes both fall back to the
+    // byte-histogram features, never throw
+    assert(out(2L).toSeq == ByteHistogramDecoder.decodeOne(rows(1)).features.toSeq)
+    assert(out(3L).toSeq == ByteHistogramDecoder.decodeOne(rows(2)).features.toSeq)
+  }
 }
