@@ -55,10 +55,17 @@ object DistributedGreedy {
     var matched: DataFrame = null
     var iter = 0
     var done = false
+    // gate limit for the small-tail finish: ONE limit-collect instead
+    // of count()-then-collect() (remaining is checkpointed, so the
+    // double scan was cheap but still one redundant job per gated
+    // round); a FULL limited collect means the tail is still big —
+    // same not-full rule as ConnectedComponents' fused gate
+    val gateLimit = math.min(driverFinishThreshold + 1, (Int.MaxValue - 1).toLong).toInt
     while (!done && iter < maxIterations) {
-      if (iter > 0 && remaining.count() <= driverFinishThreshold) {
+      val gathered = if (iter > 0) remaining.limit(gateLimit).collect() else null
+      if (gathered != null && gathered.length < gateLimit) {
         // sequential greedy sweep over the (small) remainder
-        val rem = remaining.collect().map(r =>
+        val rem = gathered.map(r =>
           Candidate(r.getDouble(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
           .sorted(Candidate.globalOrdering)
         val taken0 = scala.collection.mutable.HashSet.empty[Long]

@@ -86,12 +86,18 @@ object StreamOps {
       maxRows: Long = 2000000L): Array[graft.sim.ClkRow] = {
     val spark = pages.sparkSession
     import spark.implicits._
+    require(maxRows >= 1 && maxRows < Int.MaxValue - 1,
+      s"maxRows must be in [1, Int.MaxValue - 1), got $maxRows")
     val enc = graft.Linkage.encode(pages, params, lit(1))
-    val n = enc.count()
-    require(n <= maxRows,
-      s"reference has $n rows > $maxRows — too big to broadcast; " +
+    // ONE action: collect up to cap+1 — a count()-then-collect() gate
+    // would run the whole (uncached) encode pipeline twice; a full
+    // limited collect means the reference exceeds the cap
+    val rows = enc.map(r => graft.sim.ClkRow(r.recId, r.clk, r.pop))
+      .limit(maxRows.toInt + 1).collect()
+    require(rows.length <= maxRows,
+      s"reference exceeds $maxRows rows — too big to broadcast; " +
         "use the batch blocked pipeline (Linkage.candidatePairs) instead")
-    enc.map(r => graft.sim.ClkRow(r.recId, r.clk, r.pop)).collect()
+    rows
   }
 
   case class BandEntry(bandKey: Long, docId: Long)
