@@ -196,8 +196,13 @@ object Multimodal {
         var data: Option[(Int, Int)] = None // (offset, len)
         while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
           val id = tag(off)
-          val len = u32(off + 4).toInt
-          if (len < 0 || off + 8 + len > b.length) return None
+          // bound-check in LONG: a crafted length near Int.MaxValue
+          // would wrap an Int sum negative, pass the guard, and attempt
+          // a multi-GB allocation below — one corrupt file must degrade
+          // one row, never the executor heap
+          val lenL = u32(off + 4)
+          if (lenL < 0 || off + 8L + lenL > b.length) return None
+          val len = lenL.toInt
           if (id == "fmt " && len >= 16) {
             fmt = Some((u16(off + 8), u16(off + 10), u16(off + 22)))
             rate = u32(off + 12).toInt

@@ -62,7 +62,9 @@ object ConnectedComponents {
     // size the collect is about to reveal anyway. If the limit comes
     // back full, the edge set is big: fall through to the iterative
     // path (which re-scans, exactly as the old count-gated path did).
-    val gateLimit = math.min(driverFinishThreshold + 1, (Int.MaxValue - 1).toLong).toInt
+    // clamp BEFORE adding one: threshold = Long.MaxValue must mean
+    // "always driver-finish", not wrap to a gate that never fires
+    val gateLimit = math.min(driverFinishThreshold, (Int.MaxValue - 2).toLong).toInt + 1
     val gathered = e.as[(Long, Long)].limit(gateLimit).collect()
     // driver-finish only when the limited collect came back NOT full: a
     // full collect means more edges exist beyond the limit (including

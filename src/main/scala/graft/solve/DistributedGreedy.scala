@@ -60,7 +60,9 @@ object DistributedGreedy {
     // double scan was cheap but still one redundant job per gated
     // round); a FULL limited collect means the tail is still big —
     // same not-full rule as ConnectedComponents' fused gate
-    val gateLimit = math.min(driverFinishThreshold + 1, (Int.MaxValue - 1).toLong).toInt
+    // clamp BEFORE adding one: threshold = Long.MaxValue must mean
+    // "always driver-finish", not wrap to a gate that never fires
+    val gateLimit = math.min(driverFinishThreshold, (Int.MaxValue - 2).toLong).toInt + 1
     while (!done && iter < maxIterations) {
       val gathered = if (iter > 0) remaining.limit(gateLimit).collect() else null
       if (gathered != null && gathered.length < gateLimit) {
@@ -102,8 +104,9 @@ object DistributedGreedy {
           // using-column joins reorder columns — restore the canonical
           // order so later unions/windows see a stable layout
           .select(Candidates.columns.map(col): _*))
-        // no isEmpty check: the next iteration's count() (driver-finish
-        // gate) detects the empty remainder without an extra job
+        // no isEmpty check: the next iteration's fused limit-collect
+        // (driver-finish gate) detects the empty remainder without an
+        // extra job
       }
       iter += 1
     }
