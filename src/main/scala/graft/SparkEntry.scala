@@ -283,13 +283,16 @@ object SparkEntry {
         .where(col("df") > 200).select("g")
       val grams = grams0.join(broadcast(stopGrams), Seq("g"), "left_anti").cache()
       val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // direct capped join — measured faster than PPJoin prefix
+      // filtering at this threshold/corpus (see the measurement note
+      // in Dedup.ngramJaccardPairs, which offers prefixFilter opt-in)
       val inter = grams.as("a").join(grams.as("b"), "g")
         .where(col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id0"), col("b.doc_id").as("id1"))
         .agg(count(lit(1)).as("inter"))
       // eager-and-release, same contract as Dedup.ngramJaccardPairs:
-      // materialize the result, then drop the gram-index cache (in
-      // finally — a failed materialization must not pin it) so no
+      // materialize the result, then drop the internal caches (in
+      // finally — a failed materialization must not pin them) so no
       // cache survives the call
       try {
         val out = inter

@@ -666,4 +666,20 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L).toSeq == ByteHistogramDecoder.decodeOne(rows(1)).features.toSeq)
     assert(out(3L).toSeq == ByteHistogramDecoder.decodeOne(rows(2)).features.toSeq)
   }
+
+  test("ngram prefix filtering (PPJoin) is exact: identical pairs with and " +
+      "without, across thresholds") {
+    val sample = docs.where($"id" <= 40)
+    def pairs(df: org.apache.spark.sql.DataFrame) = {
+      val s = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      df.unpersist(); s
+    }
+    for (t <- Seq(0.2, 0.4, 0.6, 0.8)) {
+      val on = pairs(Dedup.ngramJaccardPairs(sample, "id", "text", threshold = t))
+      val off = pairs(Dedup.ngramJaccardPairs(sample, "id", "text", threshold = t,
+        prefixFilter = false))
+      assert(on == off, s"prefix filter changed the result at t=$t: " +
+        s"only-on=${(on -- off).take(3)} only-off=${(off -- on).take(3)}")
+    }
+  }
 }
