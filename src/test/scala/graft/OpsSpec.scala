@@ -512,6 +512,15 @@ class OpsSpec extends AnyFunSuite {
     assert(newIds.size == 1,
       s"exactly the returned frame's cache may survive the call; leaked RDD ids: $newIds")
     out.unpersist(blocking = true)
+    // prefix-filter variant pins the SAME contract for its extra cache
+    // (the prefix index) — nothing internal outlives the call
+    val before2 = spark.sparkContext.getPersistentRDDs.keySet
+    val out2 = Dedup.ngramJaccardPairs(sample, "id", "text", threshold = 0.3,
+      prefixFilter = true)
+    val newIds2 = spark.sparkContext.getPersistentRDDs.keySet -- before2
+    assert(newIds2.size == 1,
+      s"prefix path leaked internal caches; new RDD ids: $newIds2")
+    out2.unpersist(blocking = true)
   }
 
   test("IVF store content verification: corpus rewritten under the same dir " +
@@ -675,7 +684,8 @@ class OpsSpec extends AnyFunSuite {
       df.unpersist(); s
     }
     for (t <- Seq(0.2, 0.4, 0.6, 0.8)) {
-      val on = pairs(Dedup.ngramJaccardPairs(sample, "id", "text", threshold = t))
+      val on = pairs(Dedup.ngramJaccardPairs(sample, "id", "text", threshold = t,
+        prefixFilter = true))
       val off = pairs(Dedup.ngramJaccardPairs(sample, "id", "text", threshold = t,
         prefixFilter = false))
       assert(on == off, s"prefix filter changed the result at t=$t: " +
