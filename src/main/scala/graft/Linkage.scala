@@ -398,13 +398,20 @@ object Linkage {
   def clusters(pairs: DataFrame, params: LinkageParams,
       inputKey: String = ""): DataFrame = {
     val spark = pairs.sparkSession
+    var computed: DataFrame = null
     val out = graft.io.Snapshots.resumeOrCompute(spark, params.checkpointDir, "clusters",
       params.toString + "/" + inputKey) {
       // with a checkpoint dir the CC rounds snapshot to stable storage
       // (executor-loss-safe) instead of localCheckpoint
-      ConnectedComponents.clusterPairs(pairs,
+      computed = ConnectedComponents.clusterPairs(pairs,
         checkpointDir = params.checkpointDir.map(d => s"$d/cc"))
+      computed
     }
+    // clusterPairs returns its result cached (eager-and-release
+    // contract); once a snapshot supersedes it, the cache is dead
+    // weight — release it. Without a checkpointDir, out EQ computed and
+    // the cache IS the returned value (caller unpersists).
+    if (computed != null && !(out eq computed)) computed.unpersist()
     // the clusters snapshot (or localCheckpoint) now owns the result —
     // the CC round snapshots under cc/ are dead weight; drop them
     params.checkpointDir.foreach { d =>

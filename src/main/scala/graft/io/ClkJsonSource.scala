@@ -79,9 +79,26 @@ object ClkJsonSource {
   /** Read the faithful `{"clks": [...]}` single-object format.
     * recId = array position (reference parity). Strict: corrupt
     * records raise (see [[decoded]]). */
-  def readJson(spark: SparkSession, path: String): DataFrame =
-    decoded(spark.read.option("multiLine", true).json(path)
-      .select(posexplode(col("clks")).as(Seq("recId", "b64"))), strict = true)
+  def readJson(spark: SparkSession, path: String): DataFrame = {
+    val parsed = spark.read.option("multiLine", true).json(path)
+    // the strict per-record guard in decoded() only sees POST-explode
+    // rows — a corrupt/truncated file PERMISSIVE-parses to one row with
+    // clks = null, and posexplode emits ZERO rows for a null array, so
+    // that file's records would vanish silently in a multi-file read.
+    // The guard lives INSIDE the generator input (not a separate
+    // Filter): InferFiltersFromGenerate adds `isnotnull(clks)` below
+    // the Generate, and conjunct reordering can evaluate that inferred
+    // null-drop before a standalone guard filter ever runs — embedded
+    // in the exploded expression it cannot be separated from the array
+    // access. (A path where EVERY file is corrupt has no `clks` column
+    // at all and fails loudly at analysis.)
+    val guardedClks = when(col("clks").isNull, raise_error(lit(
+      "malformed CLK JSON file (no clks array): truncated or corrupt " +
+        "interop file — batch readers are strict")).cast("array<string>"))
+      .otherwise(col("clks"))
+    decoded(parsed.select(posexplode(guardedClks).as(Seq("recId", "b64"))),
+      strict = true)
+  }
 
   /** Read JSON Lines rows `{"recId": n, "clk": "<base64>"}`. Strict:
     * corrupt lines raise (see [[decoded]]). */

@@ -30,8 +30,15 @@ object Ann {
     s
   }
 
-  /** Sign-bit bucket key of a vector under `planes` hyperplanes. */
+  /** Sign-bit bucket key of a vector under `planes` hyperplanes.
+    * planes is capped at 63: bit p of a Long key — `1L << p` wraps
+    * modulo 64 beyond that, silently aliasing plane p onto plane
+    * p − 64 (buckets collide, hot-bucket machinery does quadratic
+    * extra work with no signal). */
   def hyperplaneKey(vec: Array[Float], planes: Int, seed: Long): Long = {
+    require(planes >= 1 && planes <= 63,
+      s"planes must be in [1, 63] (got $planes): keys are single-Long " +
+        "sign bitmaps; grow recall with more tables, not more planes")
     var key = 0L
     var p = 0
     while (p < planes) {
@@ -114,9 +121,17 @@ object Ann {
           var qi = 0
           while (qi < qs.length) {
             val q = qs(qi)._2
+            // mixed embedding models/tables must fail loudly: a
+            // truncated dot over min(dims) with full-norm denominators
+            // yields systematically deflated, meaningless cosines (the
+            // IVF path and the DuckDB oracle both reject mismatched
+            // dimensions — this path must not silently differ)
+            if (q.length != v.length) throw new IllegalArgumentException(
+              s"embedding dimension mismatch: query ${qs(qi)._1} has " +
+                s"${q.length} dims, corpus id $id has ${v.length}")
             var dot = 0.0
             var d = 0
-            val n = math.min(q.length, v.length)
+            val n = q.length
             while (d < n) { dot += q(d).toDouble * v(d); d += 1 }
             // clamp to [-1, 1]: the naive self-dot can land 1 ULP above
             // 1.0; DuckDB's list_cosine_similarity clamps the same way,

@@ -245,7 +245,11 @@ object Dedup {
     * length component shrinks that surface to same-length collisions,
     * ~2^-64 per same-length pair). */
   private def withTextRep(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    // crawl extracts carry NULL texts routinely (same convention as
+    // Linkage.encode): treat as "" — empty gram set, can never near-dup
+    // — instead of NPEing inside the executor-side shingling map
+    docs.select(col(idCol).cast("long").as("id"),
+      coalesce(col(textCol), lit("")).as("text"))
       .withColumn("rep",
         min("id").over(Window.partitionBy(xxhash64(col("text")), length(col("text")))))
 
@@ -476,7 +480,9 @@ object Dedup {
     // twice: census pass + filtered pass) is cheap linear CPU against
     // the sort it replaces. Cached: the filtered index feeds the sizes
     // aggregate and both sides of the self-join.
-    val grams0 = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    // NULL text → "" (empty gram set, no pairs) — see withTextRep
+    val grams0 = docs.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         ClkEncoder.wordNgramHashes(text, ngramN, seed).distinct.map(g => (id, g))
@@ -558,7 +564,13 @@ object Dedup {
       tap: Tap = noTap): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // a NULL embedding cannot pair with anything (and unlike NULL text
+    // there is no natural zero encoding — an all-zero "unit" vector
+    // would still land every null row in one artificial hot bucket):
+    // exclude such rows, which yields the same pair set a zero vector
+    // would (cosine 0 < any positive threshold) without the bucket skew
     val vecs = embeddings.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .where(col("vec").isNotNull)
       .as[(Long, Seq[Float])]
       .map { case (id, v) =>
         val arr = v.toArray

@@ -16,6 +16,11 @@ object Stats {
     * Values outside [lo, hi] are excluded, matching np.histogram's
     * `range` semantics. */
   def similaritiesHist(pairs: DataFrame, bins: Int, lo: Double, hi: Double): DataFrame = {
+    // np.histogram raises on bins < 1 or a zero-width range; without
+    // this, w = 0 makes (sim - lo)/w NaN/Inf and every in-range pair
+    // silently drops out of a plausible-looking all-zero histogram
+    require(bins >= 1, s"bins must be >= 1 (got $bins)")
+    require(hi > lo, s"histogram range must be non-degenerate (lo=$lo, hi=$hi)")
     val w = (hi - lo) / bins
     val counts = pairs
       .where(col("sim") >= lo && col("sim") <= hi)

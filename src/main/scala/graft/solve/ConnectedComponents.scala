@@ -146,6 +146,15 @@ object ConnectedComponents {
       iter += 1
     }
 
+    // the (root, member) extraction below is only valid on a CONVERGED
+    // edge set — on an intermediate graph it emits conflicting
+    // component labels per node; fail loudly instead (large-star/
+    // small-star converges in O(log² n) rounds, so hitting a sane
+    // bound means something is genuinely wrong with the input scale)
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge within $maxIterations " +
+        "rounds — raise maxIterations (expected O(log n) rounds)")
+
     // After convergence each edge is (root, member); roots self-map.
     // finish(): snapshot the result, prune the per-round snapshots —
     // the checkpoint dir keeps exactly one snapshot per solver run.
@@ -157,7 +166,14 @@ object ConnectedComponents {
   /** Convenience: cluster candidate pairs (dset0,dset1,rec0,rec1) into
     * (dsetId, recId, clusterId). Node ids are packed via a mixing of
     * (dsetId, recId); the caller keeps a vertex table for the reverse
-    * mapping. */
+    * mapping.
+    *
+    * Eager-and-released like the near-dup ops: the RESULT comes back
+    * cached and materialized, and the internal input cache (taken only
+    * when the caller passed an unpersisted frame) is released before
+    * returning — repeated calls in one session must not accumulate
+    * pinned copies of the whole upstream scoring pipeline. Callers
+    * `unpersist()` the returned frame when done. */
   def clusterPairs(pairs0: DataFrame, maxIterations: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs0.sparkSession
@@ -167,9 +183,10 @@ object ConnectedComponents {
     // lazily-derived input (the whole scoring pipeline) recomputes 3-4×.
     // Respect a caller's existing persist (Linkage.run caches the same
     // frame) instead of triggering the double-cache warning.
-    val pairs =
-      if (pairs0.storageLevel == org.apache.spark.storage.StorageLevel.NONE) pairs0.cache()
-      else pairs0
+    // cache() returns `this`, so track ownership with a flag — a
+    // reference comparison of pairs vs pairs0 would never detect it
+    val ownCache = pairs0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val pairs = if (ownCache) pairs0.cache() else pairs0
     val nodeId0 = Encoding.nodeIdCol(col("dset0"), col("rec0"))
     val nodeId1 = Encoding.nodeIdCol(col("dset1"), col("rec1"))
     val vertices = pairs.select(col("dset0").as("dsetId"), col("rec0").as("recId"))
@@ -177,9 +194,14 @@ object ConnectedComponents {
       .distinct()
       .withColumn("node", Encoding.nodeIdCol($"dsetId", $"recId"))
     val edges = pairs.select(nodeId0.as("src"), nodeId1.as("dst"))
-    val comps = run(edges, maxIterations, checkpointDir = checkpointDir)
-    vertices.join(comps, "node")
-      .select($"dsetId", $"recId", $"component".as("clusterId"))
+    try {
+      val comps = run(edges, maxIterations, checkpointDir = checkpointDir)
+      val out = vertices.join(comps, "node")
+        .select($"dsetId", $"recId", $"component".as("clusterId"))
+        .cache()
+      out.count()
+      out
+    } finally { if (ownCache) pairs.unpersist(blocking = true) }
   }
 
   object Encoding {

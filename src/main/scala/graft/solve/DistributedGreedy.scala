@@ -50,6 +50,7 @@ object DistributedGreedy {
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    require(maxIterations >= 1, s"maxIterations must be >= 1 (got $maxIterations)")
     val ckpt = new graft.io.Snapshots.RoundCheckpointer(checkpointDir)
     var remaining = ckpt(pairs.select(Candidates.columns.map(col): _*))
     var matched: DataFrame = null
@@ -110,6 +111,15 @@ object DistributedGreedy {
       }
       iter += 1
     }
+    // done == true ⇔ a round found no mutual-best pair ⇔ the remainder
+    // is empty (any non-empty remainder's globally-best pair is mutual-
+    // best), so exhausting the bound means pairs were NOT consumed —
+    // returning the matched prefix would silently drop valid matches
+    if (!done) throw new IllegalStateException(
+      s"matching2Party did not converge within $maxIterations rounds; " +
+        "the remaining candidate pairs would be silently dropped — raise " +
+        "maxIterations or lower driverFinishThreshold (the sequential " +
+        "tail finishes any remainder exactly)")
     ckpt.finish(matched)
   }
 

@@ -194,4 +194,23 @@ class ClkJsonSourceSpec extends AnyFunSuite {
     assert(got.sorted.toSeq == batch.sorted.toSeq,
       "multiparty file flow diverged from the batch pipeline")
   }
+
+  test("readJson: a corrupt file among good ones raises (file-level guard) — " +
+      "posexplode of a PERMISSIVE-nulled clks array would silently emit zero rows") {
+    val dir = java.nio.file.Files.createTempDirectory("clkjson_multifile")
+    val good = clkBytes(0x600dL, 2).map(b =>
+      "\"" + java.util.Base64.getEncoder.encodeToString(b) + "\"")
+    java.nio.file.Files.writeString(dir.resolve("good.json"),
+      s"""{"clks": [${good.mkString(", ")}]}""")
+    java.nio.file.Files.writeString(dir.resolve("bad.json"), """{"clks": [""")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] {
+      ClkJsonSource.readJson(spark, dir.toString).count()
+    }
+    assert(msgs(e).exists(_.contains("truncated or corrupt")),
+      s"corrupt whole file must raise, not vanish: $e")
+    // the good file alone still reads
+    assert(ClkJsonSource.readJson(spark, dir.resolve("good.json").toString).count() == 2)
+  }
 }

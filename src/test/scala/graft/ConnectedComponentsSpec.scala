@@ -122,4 +122,42 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val cl = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cl(1L) == 1L && cl(2L) == 1L && cl(3L) == 1L && cl(10L) == 10L && cl(11L) == 10L)
   }
+
+  test("non-convergence at the round bound raises — never intermediate labels") {
+    // an 8-node chain needs more than one large-star/small-star round;
+    // the old behavior extracted (root, member) from the half-contracted
+    // graph, emitting conflicting component labels with no signal
+    val edges = (1L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.run(edges, maxIterations = 1, driverFinishThreshold = 0L)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // same input under a sane bound still solves exactly
+    val ok = ConnectedComponents.run(edges, driverFinishThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 8L).forall(ok(_) == 1L))
+  }
+
+  test("clusterPairs is eager-and-released: internal input cache freed, " +
+      "only the returned frame's cache survives") {
+    val pairs = Seq(
+      (0.9, 0, 1, 10L, 20L),
+      (0.7, 0, 1, 30L, 40L))
+      .toDF("sim", "dset0", "dset1", "rec0", "rec1")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = ConnectedComponents.clusterPairs(pairs)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size == 1,
+      s"exactly the returned frame's cache may survive the call; leaked: $leaked")
+    assert(out.count() == 4)
+    out.unpersist(blocking = true)
+    // a caller-cached input stays the CALLER's to release
+    val mine = pairs.cache()
+    try {
+      val out2 = ConnectedComponents.clusterPairs(mine)
+      assert(mine.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "clusterPairs must not unpersist a cache it does not own")
+      out2.unpersist(blocking = true)
+    } finally mine.unpersist(blocking = true)
+  }
 }

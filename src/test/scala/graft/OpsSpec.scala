@@ -692,4 +692,68 @@ class OpsSpec extends AnyFunSuite {
         s"only-on=${(on -- off).take(3)} only-off=${(off -- on).take(3)}")
     }
   }
+
+  test("dedup ops tolerate NULL text (crawl convention: null == empty, like Linkage.encode)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // minhash: must not NPE in the shingling map; the two null docs are
+    // text-identical (both empty) so the exact pre-collapse pairs them
+    val mh = Dedup.minhashLsh(docs, "doc_id", "text", jaccardThreshold = 0.3)
+    val byId = mh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    mh.unpersist()
+    assert(byId(1L) == byId(2L), "identical real texts must cluster")
+    assert(byId(3L) == byId(4L), "null texts collapse as empty-identical")
+    assert(byId(1L) != byId(3L), "empty must not merge with real text")
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+    assert(sh.count() == 4); sh.unpersist()
+    val nj = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.3)
+    val ids = nj.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    nj.unpersist()
+    assert(!ids.contains(3L) && !ids.contains(4L),
+      "empty gram sets can never reach a positive Jaccard threshold")
+  }
+
+  test("embeddingNearDup skips NULL embeddings instead of NPEing (and emits no pairs for them)") {
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.001f, 0.0f)),
+      (3L, null.asInstanceOf[Seq[Float]]),
+      (4L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(rows, "vec_id", "embedding", cosineThreshold = 0.9)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.unpersist()
+    assert(got == Set((1L, 2L)), s"expected only the real near-dup pair, got $got")
+  }
+
+  test("bruteForceTopK fails loudly on embedding dimension mismatch (no silent truncation)") {
+    val corpus = Seq((1L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = Seq((9L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("dimension mismatch")),
+      s"expected a loud dimension-mismatch failure, got: $e")
+  }
+
+  test("hyperplaneKey rejects planes outside [1, 63] (Long key bits would alias mod 64)") {
+    val v = Array(1.0f, 0.0f)
+    intercept[IllegalArgumentException] { Ann.hyperplaneKey(v, 64, 1L) }
+    intercept[IllegalArgumentException] { Ann.hyperplaneKey(v, 0, 1L) }
+    assert(Ann.hyperplaneKey(v, 63, 1L) == Ann.hyperplaneKey(v, 63, 1L))
+  }
+
+  test("similaritiesHist rejects degenerate bins/range (np.histogram parity: raise, " +
+      "never an all-zero histogram)") {
+    val pairs = Seq(0.5, 0.7).toDF("sim")
+    intercept[IllegalArgumentException] { Stats.similaritiesHist(pairs, 0, 0.0, 1.0) }
+    intercept[IllegalArgumentException] { Stats.similaritiesHist(pairs, 10, 0.8, 0.8) }
+    intercept[IllegalArgumentException] { Stats.similaritiesHist(pairs, 10, 0.9, 0.1) }
+  }
 }

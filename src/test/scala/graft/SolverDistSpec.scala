@@ -231,4 +231,27 @@ class SolverDistSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("literal"))
   }
+
+  test("matching2Party raises when the round bound is exhausted with pairs remaining " +
+      "(no silent partial matching)") {
+    // staircase preferences: each mutual-best round consumes ONE pair
+    val stairs = Seq(
+      Candidate(1.0, 0, 1, 1L, 1L),
+      Candidate(0.9, 0, 1, 2L, 1L),
+      Candidate(0.8, 0, 1, 2L, 2L),
+      Candidate(0.7, 0, 1, 3L, 2L),
+      Candidate(0.6, 0, 1, 3L, 3L))
+    val e = intercept[IllegalStateException] {
+      DistributedGreedy.matching2Party(toDf(stairs), maxIterations = 1,
+        driverFinishThreshold = 0L)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    intercept[IllegalArgumentException] {
+      DistributedGreedy.matching2Party(toDf(stairs), maxIterations = 0)
+    }
+    // the same staircase under a sane bound matches exactly
+    val ok = DistributedGreedy.matching2Party(toDf(stairs), driverFinishThreshold = 0L)
+      .collect().map(r => (r.getLong(3), r.getLong(4))).toSet
+    assert(ok == Set((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
 }
