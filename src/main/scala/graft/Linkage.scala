@@ -387,6 +387,11 @@ object Linkage {
   /** V2: transitive clustering of the candidate pairs. Returns
     * (dsetId, recId, clusterId).
     *
+    * Without a checkpointDir the returned frame is CACHED and already
+    * materialized (clusterPairs' eager-and-release contract) —
+    * `unpersist()` it when done; with a checkpointDir the result reads
+    * from its snapshot and holds no cache.
+    *
     * `inputKey` feeds the snapshot content key alongside params — pass
     * anything that identifies the PAIRS' provenance (run() passes the
     * dsetIdExpr, mirroring candidatePairs' key) so a re-run over a
@@ -424,7 +429,9 @@ object Linkage {
 
   /** End-to-end: pages → clusters (with url identity attached). The
     * candidate pairs are cached (or snapshotted, with a checkpointDir)
-    * so the clustering iterations don't re-run the scoring pipeline. */
+    * so the clustering iterations don't re-run the scoring pipeline.
+    * Both returned frames are cached without a checkpointDir (see
+    * [[clusters]]) — the caller unpersists both when done. */
   def run(pages: DataFrame, params: LinkageParams,
       dsetIdExpr: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
     val pairs = candidatePairs(pages, params, dsetIdExpr)

@@ -31,13 +31,13 @@ object Ann {
   }
 
   /** Sign-bit bucket key of a vector under `planes` hyperplanes.
-    * planes is capped at 63: bit p of a Long key — `1L << p` wraps
-    * modulo 64 beyond that, silently aliasing plane p onto plane
-    * p − 64 (buckets collide, hot-bucket machinery does quadratic
-    * extra work with no signal). */
+    * planes is capped at 64 (bits 0..63 of the Long key): `1L << p`
+    * wraps modulo 64 from p = 64 on, silently aliasing plane p onto
+    * plane p − 64 (buckets collide, hot-bucket machinery does
+    * quadratic extra work with no signal). */
   def hyperplaneKey(vec: Array[Float], planes: Int, seed: Long): Long = {
-    require(planes >= 1 && planes <= 63,
-      s"planes must be in [1, 63] (got $planes): keys are single-Long " +
+    require(planes >= 1 && planes <= 64,
+      s"planes must be in [1, 64] (got $planes): keys are single-Long " +
         "sign bitmaps; grow recall with more tables, not more planes")
     var key = 0L
     var p = 0

@@ -103,16 +103,12 @@ object ConnectedComponents {
       (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
     }
 
-    var converged = false
-    var iter = 0
-    // carry the previous round's signature instead of recomputing
-    // sig(e) every round — halves the per-round aggregate count
-    var prevSig = sig(e)
-    while (!converged && iter < maxIterations) {
+    // one large-star + small-star alternation (Kiveris et al.)
+    def round(cur: DataFrame): DataFrame = {
       // --- large-star: for each node u, connect every strictly-larger
       // neighbor to the minimum of Γ(u) ∪ {u}.
-      val sym = e.select($"src".as("u"), $"dst".as("v"))
-        .union(e.select($"dst".as("u"), $"src".as("v")))
+      val sym = cur.select($"src".as("u"), $"dst".as("v"))
+        .union(cur.select($"dst".as("u"), $"src".as("v")))
       val mins = sym.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
       val large = sym.join(mins, "u")
         .where($"v" > $"u")
@@ -124,7 +120,7 @@ object ConnectedComponents {
       // node u, connect all not-larger neighbors (and u) to the min.
       val smallSym = large.select($"dst".as("u"), $"src".as("v")) // v <= u by construction
       val minsS = smallSym.groupBy($"u").agg(min($"v").as("m"))
-      val small = ckpt(smallSym.join(minsS, "u")
+      ckpt(smallSym.join(minsS, "u")
         .select($"v", $"u", $"m")
         .flatMap { row =>
           val v = row.getLong(0); val u = row.getLong(1); val m = row.getLong(2)
@@ -135,7 +131,15 @@ object ConnectedComponents {
         .select(least($"a", $"b").as("src"), greatest($"a", $"b").as("dst"))
         .where($"src" =!= $"dst")
         .distinct())
+    }
 
+    var converged = false
+    var iter = 0
+    // carry the previous round's signature instead of recomputing
+    // sig(e) every round — halves the per-round aggregate count
+    var prevSig = sig(e)
+    while (!converged && iter < maxIterations) {
+      val small = round(e)
       // convergence: edge set unchanged vs the carried previous signature
       val after = sig(small)
       val changed = after != prevSig
@@ -148,10 +152,14 @@ object ConnectedComponents {
 
     // the (root, member) extraction below is only valid on a CONVERGED
     // edge set — on an intermediate graph it emits conflicting
-    // component labels per node; fail loudly instead (large-star/
-    // small-star converges in O(log² n) rounds, so hitting a sane
-    // bound means something is genuinely wrong with the input scale)
-    if (!converged) throw new IllegalStateException(
+    // component labels per node. The signature check observes stability
+    // one round AFTER the fixpoint-producing round, so a graph that
+    // contracts to its star in exactly maxIterations rounds exits with
+    // converged == false on a correct result: probe with one more
+    // (uncounted) round before failing, and fail only if the edge set
+    // is still moving (large-star/small-star converges in O(log² n)
+    // rounds, so a genuine miss means the bound is undersized).
+    if (!converged && sig(round(e)) != prevSig) throw new IllegalStateException(
       s"connected components did not converge within $maxIterations " +
         "rounds — raise maxIterations (expected O(log n) rounds)")
 

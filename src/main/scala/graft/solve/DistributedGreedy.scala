@@ -113,12 +113,14 @@ object DistributedGreedy {
     }
     // done == true ⇔ a round found no mutual-best pair ⇔ the remainder
     // is empty (any non-empty remainder's globally-best pair is mutual-
-    // best), so exhausting the bound means pairs were NOT consumed —
-    // returning the matched prefix would silently drop valid matches
-    if (!done) throw new IllegalStateException(
+    // best). But empty-remainder DETECTION costs one extra round, so a
+    // sweep whose final allowed round consumed every remaining pair
+    // exits with done == false and a complete matching — only a
+    // genuinely non-empty remainder means matches would be dropped
+    if (!done && !remaining.isEmpty) throw new IllegalStateException(
       s"matching2Party did not converge within $maxIterations rounds; " +
         "the remaining candidate pairs would be silently dropped — raise " +
-        "maxIterations or lower driverFinishThreshold (the sequential " +
+        "maxIterations or raise driverFinishThreshold (the sequential " +
         "tail finishes any remainder exactly)")
     ckpt.finish(matched)
   }

@@ -68,7 +68,9 @@ object PerfLab {
         println(s"[perf] pairs: ${pairs.count()}")
       }
       time("big clusters CC") {
-        println(s"[perf] clustered: ${graft.Linkage.clusters(pairs, params).count()}")
+        val cl = graft.Linkage.clusters(pairs, params)
+        println(s"[perf] clustered: ${cl.count()}")
+        cl.unpersist()
       }
       spark.stop()
     }
@@ -108,7 +110,9 @@ object PerfLab {
           println(s"[perf] pairs: ${pairs.count()}")
         }
         time(s"clusters CC ($cores cores)") {
-          println(s"[perf] clustered: ${graft.Linkage.clusters(pairs, params).count()}")
+          val cl = graft.Linkage.clusters(pairs, params)
+          println(s"[perf] clustered: ${cl.count()}")
+          cl.unpersist()
         }
         time(s"greedy matching distributed ($cores cores)") {
           println(s"[perf] matched: ${graft.solve.DistributedGreedy.matching2Party(pairs).count()}")

@@ -136,6 +136,13 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val ok = ConnectedComponents.run(edges, driverFinishThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 8L).forall(ok(_) == 1L))
+    // boundary: a graph whose star appears in EXACTLY maxIterations
+    // rounds is converged — the signature check observes stability one
+    // round late, so the bound-exhaustion path must probe before failing
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val atBound = ConnectedComponents.run(tri, maxIterations = 1, driverFinishThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 3L).forall(atBound(_) == 1L))
   }
 
   test("clusterPairs is eager-and-released: internal input cache freed, " +

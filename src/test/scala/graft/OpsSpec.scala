@@ -742,11 +742,12 @@ class OpsSpec extends AnyFunSuite {
       s"expected a loud dimension-mismatch failure, got: $e")
   }
 
-  test("hyperplaneKey rejects planes outside [1, 63] (Long key bits would alias mod 64)") {
+  test("hyperplaneKey rejects planes outside [1, 64] (bit 65 would alias bit 1 mod 64)") {
     val v = Array(1.0f, 0.0f)
-    intercept[IllegalArgumentException] { Ann.hyperplaneKey(v, 64, 1L) }
+    intercept[IllegalArgumentException] { Ann.hyperplaneKey(v, 65, 1L) }
     intercept[IllegalArgumentException] { Ann.hyperplaneKey(v, 0, 1L) }
-    assert(Ann.hyperplaneKey(v, 63, 1L) == Ann.hyperplaneKey(v, 63, 1L))
+    // 64 is the full Long: bit 63 (sign bit) is a valid, distinct bucket bit
+    assert(Ann.hyperplaneKey(v, 64, 1L) == Ann.hyperplaneKey(v, 64, 1L))
   }
 
   test("similaritiesHist rejects degenerate bins/range (np.histogram parity: raise, " +

@@ -117,8 +117,9 @@ class PipelineSpec extends AnyFunSuite {
       Corpus.Params(entities = 300L, seed = 11L, minVariants = 2, maxVariants = 2)).cache()
     val params = LinkageParams(blocking = MinhashBlocking(), threshold = 0.75, k = Some(5))
     val pairs = Linkage.candidatePairs(bip, params, col("dsetId")).cache()
-    val ccClusters = Linkage.clusters(pairs, params)
-      .collect().map(r => (Rec(r.getInt(0), r.getLong(1)), r.getLong(2)))
+    val ccDf = Linkage.clusters(pairs, params)
+    val ccClusters = ccDf.collect().map(r => (Rec(r.getInt(0), r.getLong(1)), r.getLong(2)))
+    ccDf.unpersist()
     val ccPairs = Greedy.groupPairs(
       ccClusters.groupBy(_._2).values.map(_.map(_._1).toSeq).filter(_.size > 1).toSeq)
     val greedyPairs = Greedy.groupPairs(Linkage.greedyClusters(pairs))

@@ -253,5 +253,12 @@ class SolverDistSpec extends AnyFunSuite {
     val ok = DistributedGreedy.matching2Party(toDf(stairs), driverFinishThreshold = 0L)
       .collect().map(r => (r.getLong(3), r.getLong(4))).toSet
     assert(ok == Set((1L, 1L), (2L, 2L), (3L, 3L)))
+    // boundary: the final allowed round consuming EVERY remaining pair
+    // is a complete matching, not a convergence failure (empty-remainder
+    // detection costs one extra round the bound must not have to fund)
+    val one = Seq(Candidate(1.0, 0, 1, 1L, 1L))
+    val got = DistributedGreedy.matching2Party(toDf(one), maxIterations = 1,
+      driverFinishThreshold = 0L).collect().map(r => (r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set((1L, 1L)))
   }
 }
