@@ -51,7 +51,10 @@ object Dedup {
     * pair; group on (digest, length) or re-verify within groups if that
     * is not acceptable for a given corpus). */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(xxhash64(col(textCol)).as("text_hash"))
+    // NULL text hashes as "" so exact and near-dup agree on the null ==
+    // empty crawl convention (xxhash64 skips null inputs, which would
+    // otherwise give nulls their own group distinct from empty texts)
+    docs.groupBy(xxhash64(coalesce(col(textCol), lit(""))).as("text_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
   /** All unordered same-bucket pairs `(id0 < id1)` from a `(bucket,

@@ -715,6 +715,14 @@ class OpsSpec extends AnyFunSuite {
     nj.unpersist()
     assert(!ids.contains(3L) && !ids.contains(4L),
       "empty gram sets can never reach a positive Jaccard threshold")
+    // exact dedup follows the same null == "" convention: the two null
+    // docs plus an actual empty-string doc form ONE group
+    val withEmpty = docs.select($"doc_id", $"text")
+      .union(Seq((5L, "")).toDF("doc_id", "text"))
+    val ex = Dedup.exact(withEmpty, "doc_id", "text")
+    val nullGroup = ex.where($"keeper" === 3L).collect()
+    assert(nullGroup.length == 1 && nullGroup.head.getLong(2) == 3L,
+      "null and empty texts must share one exact-dup group (keeper 3, n=3)")
   }
 
   test("embeddingNearDup skips NULL embeddings instead of NPEing (and emits no pairs for them)") {
