@@ -1,0 +1,76 @@
+#!/usr/bin/env bash
+# North-rule two-cluster-size scaling evidence, via spark-submit.
+#
+# Builds the jar, synthesizes the deterministic two-dataset overlap
+# corpus (graft.tools.MakeCorpus), then submits the FULL linkage job
+# (graft.tools.SubmitScaling -> graft.RunPipeline: encode -> block/salt
+# -> Dice kernel -> candidates -> greedy solver -> clusters) at
+# local[2] and local[8] — the N and 4N dedicated-core stand-in (see
+# BASELINE.md: this host provides near-proportional CPU only up to ~8
+# active threads, so 2->8 models "every executor keeps dedicated cores
+# at both cluster sizes"; 8->32 measures host provisioning, not the
+# engine). Order alternates between rounds to cancel thermal/turbo
+# decay bias. Reports per-round pairs-scored/sec at both sizes, the
+# per-round efficiency thr(4N) / (4 * thr(N)), the median across
+# rounds, and pairwise F1 vs the corpus truth table.
+#
+# Usage: scripts/submit_scaling.sh  [env: SAMPLES=100000 ROUNDS=2 WORK=/tmp/graft_submit]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SAMPLES="${SAMPLES:-100000}"
+ROUNDS="${ROUNDS:-2}"
+WORK="${WORK:-/tmp/graft_submit}"
+JAR=target/scala-2.13/anonlinkspark_2.13-0.1.0.jar
+SUBMIT=/opt/spark/bin/spark-submit
+OUT_JSON="${OUT_JSON:-submit_scaling.json}"
+
+sbt -batch package >&2
+
+rm -rf "$WORK"; mkdir -p "$WORK"
+
+echo "== synthesizing corpora (samples=$SAMPLES + 8k warmup) ==" >&2
+"$SUBMIT" --master 'local[8]' --driver-memory 8g --class graft.tools.MakeCorpus \
+  "$JAR" --out "$WORK/corpus" --samples "$SAMPLES" --proportion 0.75 --seed 211 >&2
+"$SUBMIT" --master 'local[8]' --driver-memory 8g --class graft.tools.MakeCorpus \
+  "$JAR" --out "$WORK/warm" --samples 8000 --proportion 0.75 --seed 313 >&2
+
+submit_one() { # $1=cores $2=tag -> prints the JSON report line
+  "$SUBMIT" --master "local[$1]" --driver-memory 16g \
+    --class graft.tools.SubmitScaling "$JAR" \
+    --corpus "$WORK/corpus" --warm-corpus "$WORK/warm" \
+    --work "$WORK/run_$2" --threshold 0.8 --k 5 --solver greedy \
+    2>"$WORK/run_$2.log" | tail -1
+}
+
+declare -a LO_THR HI_THR EFF
+for ((r = 0; r < ROUNDS; r++)); do
+  if ((r % 2 == 0)); then order="2 8"; else order="8 2"; fi
+  for n in $order; do
+    echo "== round $r: local[$n] ==" >&2
+    line=$(submit_one "$n" "r${r}_c${n}")
+    echo "local[$n]: $line" >&2
+    thr=$(sed -n 's/.*"best_cmp_per_sec":\([0-9.]*\).*/\1/p' <<<"$line")
+    f1=$(sed -n 's/.*"f1":\([0-9.]*\).*/\1/p' <<<"$line")
+    if [[ -z "$thr" || -z "$f1" ]]; then
+      echo "FAILED to parse report line: $line" >&2; exit 1
+    fi
+    echo "$line" >"$WORK/report_r${r}_c${n}.json"
+    if ((n == 2)); then LO_THR[r]=$thr; else HI_THR[r]=$thr; fi
+    F1=$f1
+  done
+  EFF[r]=$(awk -v h="${HI_THR[r]}" -v l="${LO_THR[r]}" 'BEGIN{printf "%.4f", h/(4*l)}')
+  echo "round $r: thr2=${LO_THR[r]} thr8=${HI_THR[r]} eff=${EFF[r]}" >&2
+done
+
+median=$(printf '%s\n' "${EFF[@]}" | sort -n | awk '{a[NR]=$1} END{
+  if (NR % 2) print a[(NR+1)/2]; else printf "%.4f", (a[NR/2]+a[NR/2+1])/2}')
+
+{
+  printf '{"protocol":"spark-submit graft.RunPipeline (greedy solver) at local[2] and local[8], alternating order, JIT-warmup run per submit",'
+  printf '"samples":%s,"rounds":%s,' "$SAMPLES" "$ROUNDS"
+  printf '"thr_2core":[%s],' "$(IFS=,; echo "${LO_THR[*]}")"
+  printf '"thr_8core":[%s],' "$(IFS=,; echo "${HI_THR[*]}")"
+  printf '"efficiency_rounds":[%s],' "$(IFS=,; echo "${EFF[*]}")"
+  printf '"efficiency_median":%s,"f1":%s}\n' "$median" "$F1"
+} | tee "$OUT_JSON"

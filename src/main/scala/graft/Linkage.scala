@@ -334,7 +334,10 @@ object Linkage {
       /** instrumentation hook (identity by default): receives the
         * pre-finalize scored stream as ("raw", df) — used by the
         * driver contract's differential oracle (SparkEntry.dumpAux). */
-      tap: graft.ops.Dedup.Tap = graft.ops.Dedup.noTap): DataFrame = {
+      tap: graft.ops.Dedup.Tap = graft.ops.Dedup.noTap,
+      /** see [[candidatePairsFromEncoded]]; additionally stays 0 when a
+        * candidates snapshot is resumed (no scoring runs). */
+      comparisons: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
     // content keys: changed params (or dataset-assignment expression)
@@ -355,7 +358,7 @@ object Linkage {
           encode(pages, params, dsetIdExpr).toDF()
         }
         .as[EncodedRecord]
-      candidatePairsFromEncoded(encoded, params, tap)
+      candidatePairsFromEncoded(encoded, params, tap, comparisons)
     }
   }
 
@@ -365,7 +368,12 @@ object Linkage {
     * external-CLK entry points ([[graft.io.ClkJsonSource]]) so every
     * path gets the exact salting-invariance semantics. */
   def candidatePairsFromEncoded(encoded: Dataset[EncodedRecord], params: LinkageParams,
-      tap: graft.ops.Dedup.Tap = graft.ops.Dedup.noTap): DataFrame = {
+      tap: graft.ops.Dedup.Tap = graft.ops.Dedup.noTap,
+      /** optional kernel-comparison counter (instrumentation, not
+        * bookkeeping — see the accumulator note above
+        * [[scoreAgainstBroadcast]]: exact only when the result stream
+        * materializes exactly once). */
+      comparisons: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val (blocked, anySalted) = blockAndSaltWithStats(encoded, params)
     val raw = params.k match {
       case Some(kk) if anySalted =>
@@ -373,13 +381,13 @@ object Linkage {
         // be restored after salting (exact salting invariance —
         // without this, a salted cell's rank-(k+1) pair could leak
         // into the global `_enforce_k` stream)
-        Candidates.perBlockTopK(scorePairsWithKey(blocked, params), kk).drop("key")
+        Candidates.perBlockTopK(scorePairsWithKey(blocked, params, comparisons), kk).drop("key")
       case _ =>
         // nothing salted (every cell is a whole block — the kernel's
         // per-cell top-k already IS per-block) or no k at all (cells
         // partition the comparison rectangle): skip the restoration
         // window, the stream is already exact
-        scorePairs(blocked, params)
+        scorePairs(blocked, params, comparisons)
     }
     Candidates.finalize(tap("raw", raw), params.k)
   }

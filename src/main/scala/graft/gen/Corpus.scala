@@ -93,6 +93,29 @@ object Corpus {
   def pages(spark: SparkSession, p: Params): DataFrame =
     labeledPages(spark, p).select("url", "warc_ts", "html", "text", "lang")
 
+  /** The reference's E2E corpus layout over pages
+    * (`/root/reference/tests/test_e2e.py:16-26`): two datasets of
+    * exactly `samples` records each, sharing `proportion` of their
+    * entities. Entity layout: `[0, overlap)` shared (one variant per
+    * dataset), `[overlap, samples)` dataset-0-only, `[samples, total)`
+    * dataset-1-only. Low perturbation mirrors the reference's
+    * identical-PII overlap records. Labels (`entityId`, `dsetId`)
+    * retained — drop them for the `input_hint` shape. */
+  def overlapLabeled(spark: SparkSession, samples: Long, proportion: Double,
+      seed: Long, perturbation: Double = 0.03): DataFrame = {
+    require(samples > 0L && proportion >= 0.0 && proportion <= 1.0,
+      s"need samples > 0, proportion in [0,1] (got $samples, $proportion)")
+    val overlap = (samples * proportion).toLong
+    val total = 2L * samples - overlap
+    val all = labeledPages(spark, Params(
+      entities = total, seed = seed, minVariants = 2, maxVariants = 2,
+      perturbation = perturbation))
+    all.where(
+      (col("entityId") < overlap) ||
+        (col("entityId") >= overlap && col("entityId") < samples && col("dsetId") === 0) ||
+        (col("entityId") >= samples && col("dsetId") === 1))
+  }
+
   /** Deterministic pseudo-word for a vocab index (3–8 lowercase chars,
     * stable across runs). */
   def wordFor(idx: Int): String = {

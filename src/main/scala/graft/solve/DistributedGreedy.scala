@@ -30,10 +30,13 @@ import graft.cand.Candidates
   */
 object DistributedGreedy {
 
-  /** @param pairs (sim, dset0, dset1, rec0, rec1) with dset0=0, dset1=1,
-    *              pair-deduplicated (as [[Candidates.finalize]] emits —
-    *              with duplicate pairs at different sims the reference
-    *              greedy can exceed matching semantics)
+  /** @param pairs (sim, dset0, dset1, rec0, rec1) all from ONE
+    *              cross-dataset combination (conventionally dset0=0,
+    *              dset1=1, but any two distinct ids work — the windows
+    *              rank on rec0/rec1, not the ids), pair-deduplicated
+    *              (as [[Candidates.finalize]] emits — with duplicate
+    *              pairs at different sims the reference greedy can
+    *              exceed matching semantics)
     * @return matched pairs — a subset of `pairs`, the greedy matching
     */
   def matching2Party(

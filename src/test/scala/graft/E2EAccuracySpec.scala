@@ -14,20 +14,8 @@ class E2EAccuracySpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
-  private def overlapCorpus(samples: Int, proportion: Double, seed: Long) = {
-    val overlap = (samples * proportion).toInt
-    val total = 2L * samples - overlap
-    // entity layout: [0, overlap) shared; [overlap, samples) dset0-only;
-    // [samples, total) dset1-only. Low perturbation mirrors the
-    // reference's identical-PII overlap records.
-    val all = Corpus.labeledPages(spark, Corpus.Params(
-      entities = total, seed = seed, minVariants = 2, maxVariants = 2,
-      perturbation = 0.03))
-    all.where(
-      (col("entityId") < overlap) ||
-        (col("entityId") >= overlap && col("entityId") < samples && col("dsetId") === 0) ||
-        (col("entityId") >= samples && col("dsetId") === 1))
-  }
+  private def overlapCorpus(samples: Int, proportion: Double, seed: Long) =
+    Corpus.overlapLabeled(spark, samples.toLong, proportion, seed)
 
   test("accuracy: <=2% false matches; expected match count (ref test_e2e.py:36-57)") {
     val samples = 400
