@@ -18,8 +18,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-SAMPLES="${SAMPLES:-100000}"
+SAMPLES="${SAMPLES:-150000}"
 ROUNDS="${ROUNDS:-2}"
+TRIALS="${TRIALS:-2}"
 WORK="${WORK:-/tmp/graft_submit}"
 JAR=target/scala-2.13/anonlinkspark_2.13-0.1.0.jar
 SUBMIT=/opt/spark/bin/spark-submit
@@ -36,11 +37,17 @@ echo "== synthesizing corpora (samples=$SAMPLES + 8k warmup) ==" >&2
   "$JAR" --out "$WORK/warm" --samples 8000 --proportion 0.75 --seed 313 >&2
 
 submit_one() { # $1=cores $2=tag -> prints the JSON report line
+  # maxPartitionBytes sized so even this small corpus scans on >= all
+  # cores (the knob any cluster run tunes to its executor count; the
+  # default 128m packs a few-hundred-MB corpus into 1-2 partitions,
+  # serializing the scan+encode front of the pipeline)
   "$SUBMIT" --master "local[$1]" --driver-memory 16g \
+    --conf spark.sql.files.maxPartitionBytes=8m \
+    --conf spark.sql.files.openCostInBytes=1m \
     --class graft.tools.SubmitScaling "$JAR" \
     --corpus "$WORK/corpus" --warm-corpus "$WORK/warm" \
     --work "$WORK/run_$2" --threshold 0.8 --k 5 --solver greedy \
-    2>"$WORK/run_$2.log" | tail -1
+    --trials "$TRIALS" 2>"$WORK/run_$2.log" | tail -1
 }
 
 declare -a LO_THR HI_THR EFF

@@ -225,10 +225,21 @@ object RunPipeline {
       val t1 = System.nanoTime(); val s = (t1 - t0) / 1e9; t0 = t1; s
     }
 
+    // The heavy per-row stages before the blocking shuffle (ngram
+    // hashing + CLK construction, or CLK decode + band extraction)
+    // inherit the SCAN's partitioning. A small corpus packs into one
+    // or two scan partitions (openCostInBytes file packing), which
+    // would serialize those stages regardless of available cores; a
+    // 100 TB scan has thousands of partitions, so the rebalance never
+    // fires there and large runs keep the shuffle-free scan→encode.
+    val minParts = spark.sparkContext.defaultParallelism
+    def rebalanced[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] =
+      if (ds.rdd.getNumPartitions < minParts) ds.repartition(2 * minParts) else ds
+
     // ---- candidate generation ------------------------------------
     val (pairs0, records, pagesWithDset, encCache) = c.format match {
       case "pages" =>
-        val withDset = c.dsetCol match {
+        val withDset0 = c.dsetCol match {
           case Some(dc) =>
             val df = spark.read.parquet(c.inputs.head)
             require(df.columns.contains(dc),
@@ -244,9 +255,14 @@ object RunPipeline {
               }
               .reduce(_ unionByName _)
         }
-        val pairs = Linkage.candidatePairs(withDset, params, col("graft_dset"),
-          comparisons = Some(comparisons))
-        (pairs, withDset.count(), Some(withDset),
+        // prune to the scored columns, THEN rebalance (only url+text+
+        // dset ever shuffle); the records count and the --urls identity
+        // join read the un-rebalanced scan — a count must not pay the
+        // shuffle the scoring path needs
+        val pruned = withDset0.select(col("url"), col("text"), col("graft_dset"))
+        val pairs = Linkage.candidatePairs(rebalanced(pruned), params,
+          col("graft_dset"), comparisons = Some(comparisons))
+        (pairs, pruned.count(), Some(pruned),
           None: Option[DataFrame])
       case _ =>
         val read: String => DataFrame =
@@ -255,11 +271,11 @@ object RunPipeline {
         // cached: the decode pass feeds both the records count and the
         // scoring pipeline — without the cache every downstream action
         // re-reads and re-validates the interop files
-        val enc = c.inputs.zipWithIndex
+        val enc = rebalanced(c.inputs.zipWithIndex
           .map { case (p, ix) =>
             graft.io.ClkJsonSource.toEncoded(read(p), ix, params.blocking)
           }
-          .reduce(_ union _)
+          .reduce(_ union _))
           .cache()
         val records = enc.count()
         // same snapshot stage the pages path gets inside
