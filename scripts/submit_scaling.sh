@@ -28,13 +28,17 @@ OUT_JSON="${OUT_JSON:-submit_scaling.json}"
 
 sbt -batch package >&2
 
-rm -rf "$WORK"; mkdir -p "$WORK"
-
-echo "== synthesizing corpora (samples=$SAMPLES + 8k warmup) ==" >&2
-"$SUBMIT" --master 'local[8]' --driver-memory 8g --class graft.tools.MakeCorpus \
-  "$JAR" --out "$WORK/corpus" --samples "$SAMPLES" --proportion 0.75 --seed 211 >&2
-"$SUBMIT" --master 'local[8]' --driver-memory 8g --class graft.tools.MakeCorpus \
-  "$JAR" --out "$WORK/warm" --samples 8000 --proportion 0.75 --seed 313 >&2
+# KEEP_WORK=1 reuses an existing $WORK corpus (re-running more rounds
+# on the same deterministic input; MakeCorpus output is seed-fixed so
+# a reuse is bit-identical to a resynth)
+if [[ "${KEEP_WORK:-0}" != 1 || ! -d "$WORK/corpus" ]]; then
+  rm -rf "$WORK"; mkdir -p "$WORK"
+  echo "== synthesizing corpora (samples=$SAMPLES + 8k warmup) ==" >&2
+  "$SUBMIT" --master 'local[8]' --driver-memory 8g --class graft.tools.MakeCorpus \
+    "$JAR" --out "$WORK/corpus" --samples "$SAMPLES" --proportion 0.75 --seed 211 >&2
+  "$SUBMIT" --master 'local[8]' --driver-memory 8g --class graft.tools.MakeCorpus \
+    "$JAR" --out "$WORK/warm" --samples 8000 --proportion 0.75 --seed 313 >&2
+fi
 
 submit_one() { # $1=cores $2=tag -> prints the JSON report line
   # maxPartitionBytes sized so even this small corpus scans on >= all
