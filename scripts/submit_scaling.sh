@@ -54,7 +54,7 @@ submit_one() { # $1=cores $2=tag -> prints the JSON report line
     --trials "$TRIALS" 2>"$WORK/run_$2.log" | tail -1
 }
 
-declare -a LO_THR HI_THR EFF
+declare -a LO_THR HI_THR LO_CPU HI_CPU LO_HOST HI_HOST EFF CPU_EFF
 for ((r = 0; r < ROUNDS; r++)); do
   if ((r % 2 == 0)); then order="2 8"; else order="8 2"; fi
   for n in $order; do
@@ -62,26 +62,41 @@ for ((r = 0; r < ROUNDS; r++)); do
     line=$(submit_one "$n" "r${r}_c${n}")
     echo "local[$n]: $line" >&2
     thr=$(sed -n 's/.*"best_cmp_per_sec":\([0-9.]*\).*/\1/p' <<<"$line")
+    cpu=$(sed -n 's/.*"best_cpu_sec":\([0-9.]*\).*/\1/p' <<<"$line")
+    host=$(sed -n 's/.*"host_ratio_median":\([0-9.]*\).*/\1/p' <<<"$line")
     f1=$(sed -n 's/.*"f1":\([0-9.]*\).*/\1/p' <<<"$line")
-    if [[ -z "$thr" || -z "$f1" ]]; then
+    if [[ -z "$thr" || -z "$f1" || -z "$cpu" || -z "$host" ]]; then
       echo "FAILED to parse report line: $line" >&2; exit 1
     fi
     echo "$line" >"$WORK/report_r${r}_c${n}.json"
-    if ((n == 2)); then LO_THR[r]=$thr; else HI_THR[r]=$thr; fi
+    if ((n == 2)); then LO_THR[r]=$thr; LO_CPU[r]=$cpu; LO_HOST[r]=$host
+    else HI_THR[r]=$thr; HI_CPU[r]=$cpu; HI_HOST[r]=$host; fi
     F1=$f1
   done
   EFF[r]=$(awk -v h="${HI_THR[r]}" -v l="${LO_THR[r]}" 'BEGIN{printf "%.4f", h/(4*l)}')
-  echo "round $r: thr2=${LO_THR[r]} thr8=${HI_THR[r]} eff=${EFF[r]}" >&2
+  # CPU-seconds per comparison, low/high (same comparisons both sides):
+  # 1.0 = the 4N side burns no extra CPU per unit of work (no plan or
+  # contention overhead added by the wider cluster)
+  CPU_EFF[r]=$(awk -v hc="${HI_CPU[r]}" -v lc="${LO_CPU[r]}" 'BEGIN{printf "%.4f", lc/hc}')
+  echo "round $r: thr2=${LO_THR[r]} thr8=${HI_THR[r]} eff=${EFF[r]} cpu_eff=${CPU_EFF[r]} host2=${LO_HOST[r]} host8=${HI_HOST[r]}" >&2
 done
 
-median=$(printf '%s\n' "${EFF[@]}" | sort -n | awk '{a[NR]=$1} END{
-  if (NR % 2) print a[(NR+1)/2]; else printf "%.4f", (a[NR/2]+a[NR/2+1])/2}')
+med() { printf '%s\n' "$@" | sort -n | awk '{a[NR]=$1} END{
+  if (NR % 2) print a[(NR+1)/2]; else printf "%.4f", (a[NR/2]+a[NR/2+1])/2}'; }
+median=$(med "${EFF[@]}")
+cpu_median=$(med "${CPU_EFF[@]}")
 
 {
   printf '{"protocol":"spark-submit graft.RunPipeline (greedy solver) at local[2] and local[8], alternating order, JIT-warmup run per submit",'
   printf '"samples":%s,"rounds":%s,' "$SAMPLES" "$ROUNDS"
   printf '"thr_2core":[%s],' "$(IFS=,; echo "${LO_THR[*]}")"
   printf '"thr_8core":[%s],' "$(IFS=,; echo "${HI_THR[*]}")"
+  printf '"cpu_sec_2core":[%s],' "$(IFS=,; echo "${LO_CPU[*]}")"
+  printf '"cpu_sec_8core":[%s],' "$(IFS=,; echo "${HI_CPU[*]}")"
+  printf '"host_ratio_2core":[%s],' "$(IFS=,; echo "${LO_HOST[*]}")"
+  printf '"host_ratio_8core":[%s],' "$(IFS=,; echo "${HI_HOST[*]}")"
   printf '"efficiency_rounds":[%s],' "$(IFS=,; echo "${EFF[*]}")"
-  printf '"efficiency_median":%s,"f1":%s}\n' "$median" "$F1"
+  printf '"cpu_work_efficiency_rounds":[%s],' "$(IFS=,; echo "${CPU_EFF[*]}")"
+  printf '"efficiency_median":%s,"cpu_work_efficiency_median":%s,"f1":%s}\n' \
+    "$median" "$cpu_median" "$F1"
 } | tee "$OUT_JSON"

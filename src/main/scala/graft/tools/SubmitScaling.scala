@@ -79,16 +79,50 @@ object SubmitScaling {
       inputs = Seq(s"$corpus/a", s"$corpus/b"), out = out,
       threshold = c.threshold, k = c.k, solver = c.solver)
 
+  /** Host-window canary taken immediately before a trial: raw kernel
+    * throughput at 1 thread and at `cores` threads (no Spark in the
+    * loop). `ratio` = per-thread retention at `cores` threads vs 1 —
+    * the host's CPU-provisioning health AT this submit's parallelism
+    * in THIS window. On a shared box the single-thread number can look
+    * clean while multithread capacity is halved (other tenants), which
+    * silently deflates the high-core side of a scaling pair; the
+    * per-trial ratio makes that visible inside the artifact instead of
+    * requiring a side probe run. */
+  final case class Canary(mcps1t: Double, perThreadMcps: Double, ratio: Double)
+
+  private def canary(cores: Int): Canary = {
+    val probed = ThreadScaling.probe(6000, Seq(1, cores), reps = 2)
+    val c1 = probed.head._2
+    val ct = probed.last._2
+    Canary(c1 / 1e6, ct / cores / 1e6, ct / (cores * c1))
+  }
+
   /** Runs warmup + trials on an existing session; returns the JSON
     * report line. Separated from [[main]] so a spec can drive the
     * exact submitted code path. */
   def run(spark: SparkSession, c: Config): String = {
+    // executor CPU time per trial: a wall-clock-interference-resistant
+    // work measure (same listener pattern as graft.Bench); the
+    // cross-size ratio of CPU-seconds per comparison is the scaling
+    // number that survives a noisy window
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) cpuNs.addAndGet(t.taskMetrics.executorCpuTime)
+    })
     c.warmCorpus.foreach { w =>
       RunPipeline.run(spark, pipelineConfig(w, s"${c.work}/warm_out", c))
     }
-    val summaries = (1 to c.trials).map { t =>
-      RunPipeline.run(spark, pipelineConfig(c.corpus, s"${c.work}/out_$t", c))
+    val nCores = spark.sparkContext.defaultParallelism
+    val trials = (1 to c.trials).map { t =>
+      val can = canary(nCores)
+      org.apache.spark.graftlistener.drainListenerBus(spark.sparkContext)
+      cpuNs.set(0L)
+      val s = RunPipeline.run(spark, pipelineConfig(c.corpus, s"${c.work}/out_$t", c))
+      org.apache.spark.graftlistener.drainListenerBus(spark.sparkContext)
+      (s, can, cpuNs.get() / 1e9)
     }
+    val summaries = trials.map(_._1)
 
     // pairwise F1 of the last trial's clusters vs the corpus truth
     val truth = spark.read.parquet(s"${c.corpus}/truth")
@@ -102,14 +136,26 @@ object SubmitScaling {
     val cores = spark.sparkContext.defaultParallelism
     def fmt(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
-    val trialsJson = summaries.map { s =>
+    val trialsJson = trials.map { case (s, can, cpuSec) =>
       val cps = if (s.pairsSec > 0) s.comparisons / s.pairsSec else 0.0
       s"""{"comparisons":${s.comparisons},"pairs":${s.pairs},""" +
-        s""""pairs_sec":${fmt(s.pairsSec)},"cmp_per_sec":${fmt(cps)}}"""
+        s""""pairs_sec":${fmt(s.pairsSec)},"cmp_per_sec":${fmt(cps)},""" +
+        s""""cpu_sec":${fmt(cpuSec)},""" +
+        s""""canary_1t_mcps":${fmt(can.mcps1t)},""" +
+        s""""canary_${cores}t_per_thread_mcps":${fmt(can.perThreadMcps)},""" +
+        s""""host_ratio":${fmt(can.ratio)}}"""
     }.mkString("[", ",", "]")
     val best = summaries.map(s =>
       if (s.pairsSec > 0) s.comparisons / s.pairsSec else 0.0).max
+    // CPU seconds of the best-wall trial (the one best_cmp_per_sec
+    // reports), plus this submit's median host ratio
+    val bestTrial = trials.minBy { case (s, _, _) =>
+      if (s.pairsSec > 0) s.pairsSec else Double.MaxValue }
+    val ratios = trials.map(_._2.ratio).sorted
+    val medRatio = ratios(ratios.size / 2)
     s"""{"cores":$cores,"best_cmp_per_sec":${fmt(best)},""" +
+      s""""best_cpu_sec":${fmt(bestTrial._3)},""" +
+      s""""host_ratio_median":${fmt(medRatio)},""" +
       s""""f1":${fmt(f1)},"trials":$trialsJson}"""
   }
 

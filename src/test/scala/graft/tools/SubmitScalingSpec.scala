@@ -74,6 +74,15 @@ class SubmitScalingSpec extends AnyFunSuite {
     val f1 = """"f1":([0-9.]+)""".r
       .findFirstMatchIn(line).map(_.group(1).toDouble)
     assert(thr.exists(_ > 0.0), line)
+    // per-submit window evidence: executor-CPU seconds of the best
+    // trial and the raw-kernel host-provisioning canary ratio
+    val cpu = """"best_cpu_sec":([0-9.]+)""".r
+      .findFirstMatchIn(line).map(_.group(1).toDouble)
+    val host = """"host_ratio_median":([0-9.]+)""".r
+      .findFirstMatchIn(line).map(_.group(1).toDouble)
+    assert(cpu.exists(_ > 0.0), line)
+    assert(host.exists(_ > 0.0), line)
+    assert(line.contains(""""canary_1t_mcps":"""), line)
     // wiring check on a 150-sample corpus (one recall miss at this size
     // already costs ~0.005 F1); the >= 0.99 north-rule bar is asserted
     // at scale by the E2E suite and the submit_scaling.sh runs
