@@ -76,8 +76,11 @@ for ((r = 0; r < ROUNDS; r++)); do
   EFF[r]=$(awk -v h="${HI_THR[r]}" -v l="${LO_THR[r]}" 'BEGIN{printf "%.4f", h/(4*l)}')
   # CPU-seconds per comparison, low/high (same comparisons both sides):
   # 1.0 = the 4N side burns no extra CPU per unit of work (no plan or
-  # contention overhead added by the wider cluster)
-  CPU_EFF[r]=$(awk -v hc="${HI_CPU[r]}" -v lc="${LO_CPU[r]}" 'BEGIN{printf "%.4f", lc/hc}')
+  # contention overhead added by the wider cluster). Guard hc=0 (CPU
+  # accounting unavailable): report 0 rather than die after all the
+  # expensive submits have already run
+  CPU_EFF[r]=$(awk -v hc="${HI_CPU[r]}" -v lc="${LO_CPU[r]}" \
+    'BEGIN{printf "%.4f", (hc > 0) ? lc/hc : 0}')
   echo "round $r: thr2=${LO_THR[r]} thr8=${HI_THR[r]} eff=${EFF[r]} cpu_eff=${CPU_EFF[r]} host2=${LO_HOST[r]} host8=${HI_HOST[r]}" >&2
 done
 

@@ -128,13 +128,6 @@ object Bench {
     * pairs/sec, executor-CPU seconds of the best trial). */
   private def allPairsThroughput(cores: Int, n: Long, trials: Int): (Double, Double) = {
     val spark = session(cores)
-    // per-trial executor CPU time — a clock/interference-independent
-    // "work" measure
-    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (t.taskMetrics != null) cpuNs.addAndGet(t.taskMetrics.executorCpuTime)
-    }
     try {
       val bRows = (0L until n).map { i =>
         val w = RandomClks.clkFor(i, 16, 0xbbL)
@@ -147,22 +140,21 @@ object Bench {
       val params = LinkageParams(threshold = 0.7, k = None)
       // short warmup (JIT + task machinery), then the timed trials
       Linkage.scoreAgainstBroadcast(a.limit((n / 8).toInt.max(1)), bRows, params).count()
-      spark.sparkContext.addSparkListener(listener)
+      // per-trial executor CPU time — a clock/interference-independent
+      // "work" measure (drain-guarded counter shared with SubmitScaling)
+      val cpu = org.apache.spark.graftlistener.TaskCpuCounter
+        .install(spark.sparkContext)
       var bestSec = Double.MaxValue
       var bestCpu = 0.0
       for (_ <- 1 to trials) {
         val acc = spark.sparkContext.longAccumulator("comparisons")
-        // drain the async listener bus before resetting the CPU counter
-        // — onTaskEnd events arrive after count() returns, and without
-        // the drain one trial's CPU time bleeds into the next
-        org.apache.spark.graftlistener.drainListenerBus(spark.sparkContext)
-        cpuNs.set(0L)
+        cpu.reset()
         val t0 = System.nanoTime()
         Linkage.scoreAgainstBroadcast(a, bRows, params, Some(acc)).count()
         val sec = (System.nanoTime() - t0) / 1e9
         require(acc.value == n * n, s"expected ${n * n} comparisons, got ${acc.value}")
-        org.apache.spark.graftlistener.drainListenerBus(spark.sparkContext)
-        if (sec < bestSec) { bestSec = sec; bestCpu = cpuNs.get() / 1e9 }
+        val cpuSec = cpu.readSec()
+        if (sec < bestSec) { bestSec = sec; bestCpu = cpuSec }
       }
       (n.toDouble * n / bestSec, bestCpu)
     } finally spark.stop()

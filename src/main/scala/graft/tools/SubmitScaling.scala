@@ -101,27 +101,23 @@ object SubmitScaling {
     * report line. Separated from [[main]] so a spec can drive the
     * exact submitted code path. */
   def run(spark: SparkSession, c: Config): String = {
-    // executor CPU time per trial: a wall-clock-interference-resistant
-    // work measure (same listener pattern as graft.Bench); the
-    // cross-size ratio of CPU-seconds per comparison is the scaling
-    // number that survives a noisy window
-    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (t.taskMetrics != null) cpuNs.addAndGet(t.taskMetrics.executorCpuTime)
-    })
-    c.warmCorpus.foreach { w =>
-      RunPipeline.run(spark, pipelineConfig(w, s"${c.work}/warm_out", c))
-    }
-    val nCores = spark.sparkContext.defaultParallelism
-    val trials = (1 to c.trials).map { t =>
-      val can = canary(nCores)
-      org.apache.spark.graftlistener.drainListenerBus(spark.sparkContext)
-      cpuNs.set(0L)
-      val s = RunPipeline.run(spark, pipelineConfig(c.corpus, s"${c.work}/out_$t", c))
-      org.apache.spark.graftlistener.drainListenerBus(spark.sparkContext)
-      (s, can, cpuNs.get() / 1e9)
-    }
+    val cores = spark.sparkContext.defaultParallelism
+    // executor CPU time per trial: the cross-size ratio of CPU-seconds
+    // per comparison is the scaling number that survives a noisy window
+    val cpu = org.apache.spark.graftlistener.TaskCpuCounter
+      .install(spark.sparkContext)
+    val trials =
+      try {
+        c.warmCorpus.foreach { w =>
+          RunPipeline.run(spark, pipelineConfig(w, s"${c.work}/warm_out", c))
+        }
+        (1 to c.trials).map { t =>
+          val can = canary(cores)
+          cpu.reset()
+          val s = RunPipeline.run(spark, pipelineConfig(c.corpus, s"${c.work}/out_$t", c))
+          (s, can, cpu.readSec())
+        }
+      } finally cpu.remove() // the caller's session outlives this run
     val summaries = trials.map(_._1)
 
     // pairwise F1 of the last trial's clusters vs the corpus truth
@@ -133,26 +129,30 @@ object SubmitScaling {
     val f1 = graft.solve.Evaluation.pairwise(truth, clusters)
       .select(col("f1")).head().getDouble(0)
 
-    val cores = spark.sparkContext.defaultParallelism
     def fmt(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+    def cps(s: RunPipeline.Summary): Double =
+      if (s.pairsSec > 0) s.comparisons / s.pairsSec else 0.0
     val trialsJson = trials.map { case (s, can, cpuSec) =>
-      val cps = if (s.pairsSec > 0) s.comparisons / s.pairsSec else 0.0
       s"""{"comparisons":${s.comparisons},"pairs":${s.pairs},""" +
-        s""""pairs_sec":${fmt(s.pairsSec)},"cmp_per_sec":${fmt(cps)},""" +
+        s""""pairs_sec":${fmt(s.pairsSec)},"cmp_per_sec":${fmt(cps(s))},""" +
         s""""cpu_sec":${fmt(cpuSec)},""" +
         s""""canary_1t_mcps":${fmt(can.mcps1t)},""" +
         s""""canary_${cores}t_per_thread_mcps":${fmt(can.perThreadMcps)},""" +
         s""""host_ratio":${fmt(can.ratio)}}"""
     }.mkString("[", ",", "]")
-    val best = summaries.map(s =>
-      if (s.pairsSec > 0) s.comparisons / s.pairsSec else 0.0).max
-    // CPU seconds of the best-wall trial (the one best_cmp_per_sec
-    // reports), plus this submit's median host ratio
-    val bestTrial = trials.minBy { case (s, _, _) =>
-      if (s.pairsSec > 0) s.pairsSec else Double.MaxValue }
+    // best_cpu_sec belongs to the SAME trial best_cmp_per_sec reports
+    // (selecting by wall alone would diverge if comparisons ever
+    // differed across trials, e.g. a resumed trial reporting 0)
+    val bestTrial = trials.maxBy { case (s, _, _) => cps(s) }
+    val best = cps(bestTrial._1)
+    // median host ratio across trials; even counts average the middle
+    // two (taking the upper-middle would report the MAX of two trials,
+    // hiding exactly the degraded window the canary exists to surface)
     val ratios = trials.map(_._2.ratio).sorted
-    val medRatio = ratios(ratios.size / 2)
+    val medRatio =
+      if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
     s"""{"cores":$cores,"best_cmp_per_sec":${fmt(best)},""" +
       s""""best_cpu_sec":${fmt(bestTrial._3)},""" +
       s""""host_ratio_median":${fmt(medRatio)},""" +
