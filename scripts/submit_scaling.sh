@@ -15,16 +15,50 @@
 # rounds, and pairwise F1 vs the corpus truth table.
 #
 # Usage: scripts/submit_scaling.sh  [env: SAMPLES=100000 ROUNDS=2 WORK=/tmp/graft_submit]
+#
+# GATE=0.8 (optional) makes the script WAIT, before each round, until a
+# ~3 s no-Spark kernel probe shows the host retaining >= GATE per-thread
+# throughput at 8 threads (this shared host's multithread capacity
+# swings 50-100% across the day — a degraded window measures the host's
+# CPU provisioning, not the engine; see BASELINE.md). Waiting is bounded
+# by GATE_WAIT_MIN (default 20) per round, after which the round runs
+# anyway — nothing is dropped or re-rolled, and every trial still
+# records its own in-artifact canary, so a window that shifts mid-round
+# stays visible.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 SAMPLES="${SAMPLES:-150000}"
 ROUNDS="${ROUNDS:-2}"
 TRIALS="${TRIALS:-2}"
+GATE="${GATE:-0}"
+GATE_WAIT_MIN="${GATE_WAIT_MIN:-20}"
 WORK="${WORK:-/tmp/graft_submit}"
 JAR=target/scala-2.13/anonlinkspark_2.13-0.1.0.jar
 SUBMIT=/opt/spark/bin/spark-submit
 OUT_JSON="${OUT_JSON:-submit_scaling.json}"
+
+# per-thread retention at 8 threads vs 1, from the raw kernel probe
+probe_ratio() {
+  java -cp "$JAR:/opt/spark/jars/*" graft.tools.ThreadScaling 8000 1,8 2>/dev/null |
+    sed -E 's/.*threads= *([0-9]+).*per-thread= *([0-9.]+) M.*/\1 \2/' |
+    awk '{v[$1]=$2} END{if (v[1] > 0) printf "%.3f", v[8]/v[1]; else print "0"}'
+}
+
+wait_for_window() { # $1=round
+  [[ "$GATE" == 0 ]] && return 0
+  local deadline=$((SECONDS + GATE_WAIT_MIN * 60)) r
+  while :; do
+    r=$(probe_ratio)
+    echo "window probe before round $1: 8t retention $r (gate $GATE)" >&2
+    awk -v r="$r" -v g="$GATE" 'BEGIN{exit !(r >= g)}' && return 0
+    ((SECONDS >= deadline)) && {
+      echo "gate timed out after ${GATE_WAIT_MIN}m; running round $1 in a degraded window" >&2
+      return 0
+    }
+    sleep 90
+  done
+}
 
 sbt -batch package >&2
 
@@ -56,6 +90,7 @@ submit_one() { # $1=cores $2=tag -> prints the JSON report line
 
 declare -a LO_THR HI_THR LO_CPU HI_CPU LO_HOST HI_HOST EFF CPU_EFF
 for ((r = 0; r < ROUNDS; r++)); do
+  wait_for_window "$r"
   if ((r % 2 == 0)); then order="2 8"; else order="8 2"; fi
   for n in $order; do
     echo "== round $r: local[$n] ==" >&2

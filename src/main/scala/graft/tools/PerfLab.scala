@@ -368,7 +368,13 @@ object ThreadScaling {
 
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 20000
-    probe(n, Seq(1, 2, 4, 8, 16, 32)).foreach { case (t, cps) =>
+    // optional second arg: comma-separated thread counts (a 2-element
+    // list is a ~3 s window probe, e.g. "1,8" for the submit-scaling
+    // script's dedicated-core gate)
+    val counts =
+      if (args.length > 1) args(1).split(",").toSeq.map(_.trim.toInt)
+      else Seq(1, 2, 4, 8, 16, 32)
+    probe(n, counts).foreach { case (t, cps) =>
       println(f"[scal] threads=$t%2d total=${cps / 1e6}%8.1f M cmp/s  per-thread=${cps / t / 1e6}%7.1f M")
     }
   }
