@@ -126,7 +126,7 @@ cpu_median=$(med "${CPU_EFF[@]}")
 
 {
   printf '{"protocol":"spark-submit graft.RunPipeline (greedy solver) at local[2] and local[8], alternating order, JIT-warmup run per submit",'
-  printf '"samples":%s,"rounds":%s,' "$SAMPLES" "$ROUNDS"
+  printf '"samples":%s,"rounds":%s,"gate":%s,' "$SAMPLES" "$ROUNDS" "$GATE"
   printf '"thr_2core":[%s],' "$(IFS=,; echo "${LO_THR[*]}")"
   printf '"thr_8core":[%s],' "$(IFS=,; echo "${HI_THR[*]}")"
   printf '"cpu_sec_2core":[%s],' "$(IFS=,; echo "${LO_CPU[*]}")"
