@@ -214,22 +214,35 @@ object Linkage {
     // corpus (≈ bands × matched docs) — at 500k pages it already OOMs a
     // broadcast build, so force a shuffle-hash join: scale-safe at any
     // size, and the per-partition hash build is tiny.
-    val salted = exploded.join(active.hint("SHUFFLE_HASH"), Seq("key"), "left_semi")
+    val semi = exploded.join(active.hint("SHUFFLE_HASH"), Seq("key"), "left_semi")
       .select($"key", $"dsetId", $"recId", $"clk", $"pop")
-      .as[(Long, Int, Long, Array[Byte], Int)].mapPartitions { it =>
-      val hotMap = hotB.value
-      it.flatMap { case (key, dsetId, recId, clk, pop) =>
-        hotMap.get(key) match {
-          case None => Iterator.single(BlockedRow(key, 0, dsetId, recId, clk, pop))
-          case Some((sA, sB)) =>
-            val own = java.lang.Math.floorMod(Hashing.mix64(recId ^ key), (if (dsetId == 0) sA else sB).toLong).toInt
-            if (dsetId == 0)
-              (0 until sB).iterator.map(j => BlockedRow(key, own * sB + j, dsetId, recId, clk, pop))
-            else
-              (0 until sA).iterator.map(i => BlockedRow(key, i * sB + own, dsetId, recId, clk, pop))
+    val salted =
+      if (hot.isEmpty)
+        // nothing hot: salt is constantly 0 — attach it as a pure
+        // Column projection instead of a typed flatMap. The projection
+        // preserves the semi-join's HashPartitioning(key), so the
+        // kernel's relational groupBy(key, salt) downstream needs NO
+        // second exchange (guide §2.4: two operations keyed the same
+        // way share one exchange); the typed mapPartitions here used to
+        // erase the partitioning and force a full re-shuffle of the clk
+        // payloads.
+        semi.select($"key", lit(0).as("salt"), $"dsetId", $"recId", $"clk", $"pop")
+          .as[BlockedRow]
+      else semi
+        .as[(Long, Int, Long, Array[Byte], Int)].mapPartitions { it =>
+          val hotMap = hotB.value
+          it.flatMap { case (key, dsetId, recId, clk, pop) =>
+            hotMap.get(key) match {
+              case None => Iterator.single(BlockedRow(key, 0, dsetId, recId, clk, pop))
+              case Some((sA, sB)) =>
+                val own = java.lang.Math.floorMod(Hashing.mix64(recId ^ key), (if (dsetId == 0) sA else sB).toLong).toInt
+                if (dsetId == 0)
+                  (0 until sB).iterator.map(j => BlockedRow(key, own * sB + j, dsetId, recId, clk, pop))
+                else
+                  (0 until sA).iterator.map(i => BlockedRow(key, i * sB + own, dsetId, recId, clk, pop))
+            }
+          }
         }
-      }
-    }
     (salted, hot.nonEmpty)
   }
 
@@ -253,8 +266,15 @@ object Linkage {
     import spark.implicits._
     val threshold = params.threshold
     val k = params.k
-    blocked
-      .groupByKey(r => (r.key, r.salt))
+    // relational groupBy on the (key, salt) COLUMNS, not a typed
+    // groupByKey on a lambda: the planner can see the grouping key, so
+    // when the upstream semi-join already hash-partitioned the stream
+    // by `key` (the unsalted path preserves it), ClusteredDistribution
+    // (key, salt) is satisfied by HashPartitioning(key) and the extra
+    // exchange of the clk payloads is elided — the kernel reads the
+    // semi-join's shuffle output directly (guide §2.4).
+    blocked.toDF()
+      .groupBy(col("key"), col("salt")).as[(Long, Int), BlockedRow]
       .flatMapGroups { (keySalt, rows) =>
         // fast path: two-party cells (the overwhelmingly common case)
         val a = scala.collection.mutable.ArrayBuffer.empty[ClkRow]
@@ -349,10 +369,12 @@ object Linkage {
     val ckEncode = params.clk.toString + "/" + params.blocking.toString +
       "/" + dsetIdExpr.toString
     graft.io.Snapshots.resumeOrCompute(spark, params.checkpointDir, "candidates", ck) {
-      // blockAndSalt scans the encoded records twice (hot-key census +
-      // salted explode). With a checkpoint dir the encode stage is
-      // snapshotted so both passes read Parquet instead of re-encoding;
-      // without one (tests/small runs) the double encode is accepted.
+      // The blocking stage scans the exploded records three times
+      // (hot-key census, active-key build side, salted kernel feed).
+      // With a checkpoint dir the encode stage is snapshotted so every
+      // pass reads Parquet instead of re-encoding; without one
+      // (tests/small runs) the re-encode is accepted — measured cheaper
+      // than caching (see candidatePairsFromEncoded).
       val encoded = graft.io.Snapshots
         .resumeOrCompute(spark, params.checkpointDir, "encoded", ckEncode) {
           encode(pages, params, dsetIdExpr).toDF()
@@ -374,6 +396,13 @@ object Linkage {
         * [[scoreAgainstBroadcast]]: exact only when the result stream
         * materializes exactly once). */
       comparisons: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    // NOTE on the triple scan: the blocking stage reads the exploded
+    // stream three times (hot-key census, active-key build side, salted
+    // kernel feed). Measured at bench scale the re-encode is noise
+    // (~0.1 s warm) and an internal cache + eager materialization COST
+    // more than it saved on single-pass consumers (+1.1 s on
+    // linkage_hist), so the frame stays lazy; at real scale the
+    // checkpointDir snapshot (candidatePairs) provides the reuse.
     val (blocked, anySalted) = blockAndSaltWithStats(encoded, params)
     val raw = params.k match {
       case Some(kk) if anySalted =>
@@ -443,7 +472,12 @@ object Linkage {
   def run(pages: DataFrame, params: LinkageParams,
       dsetIdExpr: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
     val pairs = candidatePairs(pages, params, dsetIdExpr)
-    val reusable = if (params.checkpointDir.isDefined) pairs else pairs.cache()
+    // candidatePairs already returns a cached+materialized frame on the
+    // no-checkpoint path — don't re-cache (double-cache warning)
+    val reusable =
+      if (params.checkpointDir.isDefined ||
+        pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE) pairs
+      else pairs.cache()
     (reusable, clusters(reusable, params, dsetIdExpr.toString))
   }
 

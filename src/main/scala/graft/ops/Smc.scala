@@ -20,8 +20,12 @@ object Smc {
   def scorePairs(blocked: Dataset[BlockedRow], threshold: Double, bits: Int): DataFrame = {
     val spark = blocked.sparkSession
     import spark.implicits._
-    blocked
-      .groupByKey(r => (r.key, r.salt))
+    // relational groupBy on the (key, salt) columns — same exchange
+    // elision as Linkage.scorePairsWithKey: when the upstream blocking
+    // semi-join already partitioned by key (unsalted path), the kernel
+    // grouping needs no second exchange of the clk payloads.
+    blocked.toDF()
+      .groupBy(col("key"), col("salt")).as[(Long, Int), BlockedRow]
       .flatMapGroups { (_, rows) =>
         val a = scala.collection.mutable.ArrayBuffer.empty[ClkRow]
         val b = scala.collection.mutable.ArrayBuffer.empty[ClkRow]

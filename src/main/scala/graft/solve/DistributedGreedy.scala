@@ -55,7 +55,19 @@ object DistributedGreedy {
     import spark.implicits._
     require(maxIterations >= 1, s"maxIterations must be >= 1 (got $maxIterations)")
     val ckpt = new graft.io.Snapshots.RoundCheckpointer(checkpointDir)
-    var remaining = ckpt(pairs.select(Candidates.columns.map(col): _*))
+    // The driver-finish gate fires at iteration 0, BEFORE the initial
+    // round snapshot: a small input (the common post-threshold/top-k
+    // case) goes straight from one limit-collect to the sequential
+    // sweep — the whole distributed round machinery (snapshot + two
+    // windows + count + anti-joins, ~8 jobs) is skipped, and the
+    // sequential sweep IS the reference semantics, so the result is
+    // bit-identical (pinned by the vs-sequential parity specs). An
+    // input that comes back at the limit pays at most one extra
+    // map-side pass of its upstream before the snapshot materializes
+    // it — at real scale the caller passes a checkpointDir
+    // (RunPipeline does) and the input is already a snapshot read.
+    val src = pairs.select(Candidates.columns.map(col): _*)
+    var remaining: DataFrame = null
     var matched: DataFrame = null
     var iter = 0
     var done = false
@@ -68,7 +80,10 @@ object DistributedGreedy {
     // "always driver-finish", not wrap to a gate that never fires
     val gateLimit = math.min(driverFinishThreshold, (Int.MaxValue - 2).toLong).toInt + 1
     while (!done && iter < maxIterations) {
-      val gathered = if (iter > 0) remaining.limit(gateLimit).collect() else null
+      val gathered =
+        (if (remaining == null) src else remaining).limit(gateLimit).collect()
+      if (remaining == null && gathered.length >= gateLimit)
+        remaining = ckpt(src)
       if (gathered != null && gathered.length < gateLimit) {
         // sequential greedy sweep over the (small) remainder
         val rem = gathered.map(r =>

@@ -57,10 +57,14 @@ object DistributedProbGreedy {
       s"merge_threshold must be between 0 and 1 (got $mergeThreshold)")
     val spark = pairs.sparkSession
     import spark.implicits._
-    val p = pairs.select(col("sim").cast("double").as("sim"),
+    // respect a caller's existing persist (Linkage.candidatePairs
+    // returns a cached frame on the no-checkpoint path): the projection
+    // below reads the parent cache, so a second copy buys nothing
+    val ownCache = pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val p0 = pairs.select(col("sim").cast("double").as("sim"),
       col("dset0").cast("int").as("dset0"), col("dset1").cast("int").as("dset1"),
       col("rec0").cast("long").as("rec0"), col("rec1").cast("long").as("rec1"))
-      .cache()
+    val p = if (ownCache) p0.cache() else p0
     val n0 = ConnectedComponents.Encoding.nodeIdCol(col("dset0"), col("rec0"))
     val n1 = ConnectedComponents.Encoding.nodeIdCol(col("dset1"), col("rec1"))
     // CC drops self-loop candidates (i0 == i1) — the sequential solver
@@ -87,7 +91,7 @@ object DistributedProbGreedy {
       .toDF("dsetId", "recId", "clusterId")
       .cache()
     out.count()
-    p.unpersist()
+    if (ownCache) p.unpersist()
     out
   }
 }
