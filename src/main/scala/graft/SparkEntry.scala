@@ -321,11 +321,16 @@ object SparkEntry {
       // mirrored exactly in the DuckDB oracle. The cap is a hash-
       // aggregate census + broadcast anti-join (the stop SET is tiny by
       // definition), not a window — no sort of the gram index.
+      // grams0 cached: the stop-gram census AND the filtered-index cache
+      // fill both scan it — uncached, the split+transform+explode over
+      // every document text ran twice (released in the finally below
+      // with the same eager-and-release contract as the gram index)
       val grams0 = t(s, dir, "documents")
         .withColumn("w", split(col("text"), " "))
         .where(size(col("w")) >= 3)
         .select(col("doc_id"), explode(array_distinct(expr(
           "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))).as("g"))
+        .cache()
       val stopGrams = grams0.groupBy("g").agg(count(lit(1)).as("df"))
         .where(col("df") > 200).select("g")
       val grams = grams0.join(broadcast(stopGrams), Seq("g"), "left_anti").cache()
@@ -351,7 +356,7 @@ object SparkEntry {
           .cache()
         out.count()
         out
-      } finally grams.unpersist()
+      } finally { grams.unpersist(); grams0.unpersist() }
     }),
     "q_quality_score" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),

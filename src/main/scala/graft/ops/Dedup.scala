@@ -368,7 +368,10 @@ object Dedup {
     // bounded same-band candidate pairs (canonical id0 < id1), deduped;
     // cached: the pair set feeds the verification joins — uncached, the
     // census+tiling+distinct would run twice
-    val banded = sigs.select(explode($"bands").as("bucket"), $"id")
+    // cached: the exploded band table is scanned by the census AND both
+    // sides of the bucket self-join — uncached each scan re-explodes
+    // (and re-deserializes the band arrays from) the signature cache
+    val banded = sigs.select(explode($"bands").as("bucket"), $"id").cache()
     val (pairs0, bandedRows) = bucketPairsWithTotal(banded, pairBudget, starFanout)
     val pairs = pairs0.distinct().cache()
 
@@ -427,7 +430,9 @@ object Dedup {
       val out = expandReps(withRep, comps).cache()
       out.count()
       out
-    } finally { withRep.unpersist(); sigs.unpersist(); pairs.unpersist() }
+    } finally {
+      withRep.unpersist(); sigs.unpersist(); pairs.unpersist(); banded.unpersist()
+    }
   }
 
   /** SimHash near-dup: exact pre-collapse → 64-bit simhash, banded
@@ -458,12 +463,13 @@ object Dedup {
       .toDF("id", "sig")
       .cache()
 
-    // bucket = (chunk index, 16-bit chunk value) packed into one long
+    // bucket = (chunk index, 16-bit chunk value) packed into one long;
+    // cached for the census + self-join scans like minhashLsh's banded
     val chunked = sigs.select(
       explode(array((0 until 4).map(c =>
         (shiftright($"sig", c * 16).bitwiseAND(0xffffL) + lit(c.toLong << 16)).as(s"k$c")): _*))
         .as("bucket"),
-      $"id")
+      $"id").cache()
     val pairs = bucketPairs(chunked, pairBudget, starFanout).distinct().cache()
 
     val s0 = sigs.select($"id".as("id0"), $"sig".as("s0"))
@@ -479,7 +485,9 @@ object Dedup {
       val out = expandReps(withRep, comps).cache()
       out.count()
       out
-    } finally { withRep.unpersist(); sigs.unpersist(); pairs.unpersist() }
+    } finally {
+      withRep.unpersist(); sigs.unpersist(); pairs.unpersist(); chunked.unpersist()
+    }
   }
 
   /** Direct exact n-gram Jaccard pairs via gram-inverted-index
@@ -551,6 +559,9 @@ object Dedup {
     // the sort it replaces. Cached: the filtered index feeds the sizes
     // aggregate and both sides of the self-join.
     // NULL text → "" (empty gram set, no pairs) — see withTextRep
+    // grams0 cached: the stop-gram census and the filtered-index cache
+    // fill both scan it — uncached, the shingling flatMap over every
+    // text ran twice (released in the finally with the others)
     val grams0 = docs.select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
@@ -558,6 +569,7 @@ object Dedup {
         ClkEncoder.wordNgramHashes(text, ngramN, seed).distinct.map(g => (id, g))
       }
       .toDF("id", "gram")
+      .cache()
     val stopGrams = grams0.groupBy($"gram").agg(count(lit(1)).as("df"))
       .where($"df" > maxDf).select($"gram")
     val grams = grams0.join(broadcast(stopGrams), Seq("gram"), "left_anti")
@@ -609,7 +621,9 @@ object Dedup {
         .cache()
       out.count()
       out
-    } finally { grams.unpersist(); prefix.foreach(_.unpersist()) }
+    } finally {
+      grams.unpersist(); grams0.unpersist(); prefix.foreach(_.unpersist())
+    }
   }
 
   /** Embedding-cosine near-dup PAIRS: normalized vectors, LSH-bucketed
