@@ -37,6 +37,30 @@ object BenchExtra {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 
+  /** Single-thread Dice-kernel host canary (same construction as
+    * graft.Bench's): ~0.25 s on a healthy window, rate in M cmp/s.
+    * Printed next to each sample so a degraded shared-host window is
+    * distinguishable from a slow plan. */
+  private lazy val canaryInputs = {
+    import graft.core.BitVector
+    import graft.gen.RandomClks
+    import graft.sim.{ClkRow, DiceKernel}
+    def rows(n: Int, seed: Long) = (0 until n).map { i =>
+      val w = RandomClks.clkFor(i.toLong, 16, seed)
+      ClkRow(0L, BitVector.toBytes(w), BitVector.popcount(w))
+    }.toArray
+    val r = (rows(6000, 0xccL), rows(6000, 0xddL))
+    graft.sim.DiceKernel.blockDiceTopK(r._1.take(1000), r._2.take(1000), 0.7, None, 0, 1).size
+    r
+  }
+
+  private def hostCanaryMcps(): Double = {
+    val (a, b) = canaryInputs
+    val t0 = System.nanoTime()
+    graft.sim.DiceKernel.blockDiceTopK(a, b, 0.7, None, 0, 1).size
+    a.length.toDouble * b.length / ((System.nanoTime() - t0) / 1e9) / 1e6
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -74,8 +98,10 @@ object BenchExtra {
       spark.sparkContext.setJobDescription(name)
       var best = Double.MaxValue
       var bestJobs = 0; var bestStages = 0; var bestTasks = 0
+      var bestCanary = 0.0
       for (_ <- 1 to reps) {
         reset(spark)
+        val canary = hostCanaryMcps()
         val c = new Counts
         spark.sparkContext.addSparkListener(c)
         val t0 = System.nanoTime()
@@ -85,7 +111,10 @@ object BenchExtra {
         // drain listener events so counts are complete
         org.apache.spark.graftlistener.drainListenerBus(spark.sparkContext, 30000L)
         spark.sparkContext.removeSparkListener(c)
-        if (sec < best) { best = sec; bestJobs = c.jobs.get; bestStages = c.stages.get; bestTasks = c.tasks.get }
+        if (sec < best) {
+          best = sec; bestJobs = c.jobs.get; bestStages = c.stages.get
+          bestTasks = c.tasks.get; bestCanary = canary
+        }
       }
       planDir.foreach { pd =>
         try {
@@ -96,7 +125,8 @@ object BenchExtra {
           java.nio.file.Files.writeString(java.nio.file.Paths.get(pd, s"$name.txt"), p)
         } catch { case e: Throwable => System.err.println(s"[bench-extra] plan $name failed: $e") }
       }
-      println(f"$name%-26s ${best}%8.2f s  jobs=$bestJobs%-4d stages=$bestStages%-4d tasks=$bestTasks%-6d")
+      println(f"$name%-26s ${best}%8.2f s  jobs=$bestJobs%-4d stages=$bestStages%-4d " +
+        f"tasks=$bestTasks%-6d canary=$bestCanary%.0f")
       (name, best, bestJobs, bestStages, bestTasks)
     }
     spark.sparkContext.setJobDescription(null)

@@ -80,6 +80,19 @@ object DedupProbe {
       }
 
       val banded = sigs.select(explode($"bands").as("bucket"), $"id")
+      phase("VARIANT agg+listpairs+distinct") {
+        val lists = banded.groupBy($"bucket").agg(collect_list($"id").as("ids"))
+          .where(size($"ids") >= 2)
+        val p = lists.select(explode(expr(
+          "flatten(transform(sequence(0, size(ids)-2), i -> " +
+            "transform(sequence(i+1, size(ids)-1), j -> " +
+            "struct(least(ids[i], ids[j]) as id0, greatest(ids[i], ids[j]) as id1))))"))
+          .as("p"))
+          .select(col("p.id0"), col("p.id1"))
+          .where(col("id0") =!= col("id1"))
+          .distinct()
+        println(s"[probe]   variant pairs = ${p.count()}")
+      }
       val pairs = phase("bucketPairs+distinct+cache") {
         val p = graft.ops.Dedup.bucketPairs(banded, 4L * 1000 * 1000, Some(64))
           .distinct().cache()
