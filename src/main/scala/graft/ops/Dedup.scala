@@ -322,12 +322,27 @@ object Dedup {
   /** Re-attach collapsed members to their representative's component:
     * (id, clusterId, keeper); singleton representatives keep their own
     * id as clusterId. Output matches the un-collapsed computation: the
-    * min id of any mixed component is itself a representative. */
+    * min id of any mixed component is itself a representative.
+    *
+    * keeper = min(id) per cluster ≡ clusterId, provably, so no window
+    * (previously a full exchange + sort of the member table) and no
+    * aggregate are needed:
+    *  - every member id ≥ its rep ([[withTextRep]]: rep is the MIN id
+    *    of its identical-text group);
+    *  - a CC component's label is the MIN node id in the component
+    *    ([[ConnectedComponents.run]]'s contract), and its nodes are
+    *    exactly the reps wired by verified edges;
+    *  - hence min over a CC cluster's members = min over its reps =
+    *    component = clusterId, and for a singleton rep group
+    *    min = rep = clusterId.
+    * The identity is cross-checked every round by the driver's DuckDB
+    * oracle, which still computes keeper as min(id) OVER (PARTITION BY
+    * cluster) from the dumped intermediates, and by OpsSpec. */
   private def expandReps(withRep: DataFrame, repComps: DataFrame): DataFrame = {
     withRep.select(col("id"), col("rep"))
       .join(repComps.withColumnRenamed("node", "rep"), Seq("rep"), "left")
       .withColumn("clusterId", coalesce(col("component"), col("rep")))
-      .withColumn("keeper", min(col("id")).over(Window.partitionBy(col("clusterId"))))
+      .withColumn("keeper", col("clusterId"))
       .select("id", "clusterId", "keeper")
   }
 

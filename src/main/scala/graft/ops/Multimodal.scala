@@ -65,14 +65,20 @@ object Multimodal {
     def decodeOne(r: MediaRow): FeatureRow = {
       val feats = new Array[Float](FeatureDim)
       if (r.media != null && r.media.nonEmpty) {
+        // counts accumulate in Long: past 2^24 increments, float += 1.0f
+        // becomes a no-op and silently skews the histogram of a >=16 MB
+        // blob; Long.toFloat rounds exactly like the oracle's
+        // CAST(count AS FLOAT), so values are unchanged below 2^24 and
+        // correct (instead of saturated) above it
+        val counts = new Array[Long](FeatureDim)
         var i = 0
         while (i < r.media.length) {
-          feats((r.media(i) & 0xff) % FeatureDim) += 1.0f
+          counts((r.media(i) & 0xff) % FeatureDim) += 1L
           i += 1
         }
         val inv = 1.0f / r.media.length
         var d = 0
-        while (d < FeatureDim) { feats(d) *= inv; d += 1 }
+        while (d < FeatureDim) { feats(d) = counts(d).toFloat * inv; d += 1 }
       }
       FeatureRow(r.id, r.mime, if (r.media == null) 0L else r.media.length.toLong, feats)
     }
@@ -126,6 +132,10 @@ object Multimodal {
           // vectorized, ~an order of magnitude cheaper in the per-row
           // decode path
           val rowBuf = new Array[Int](w)
+          // luminance-histogram counts in Long (not the Float feature
+          // slots): past 2^24 increments float += 1.0f is a no-op, so a
+          // large flat image would silently skew its histogram fractions
+          val lumCounts = new Array[Long](8)
           while (y < h) {
             im.getRGB(0, y, w, 1, rowBuf, 0, w)
             var x = 0
@@ -136,7 +146,7 @@ object Multimodal {
               val lum = 0.299 * cr + 0.587 * cg + 0.114 * cb
               sumR += cr; sumG += cg; sumB += cb
               sumL += lum; sumL2 += lum * lum
-              feats(math.min(7, (lum / 32.0).toInt)) += 1.0f
+              lumCounts(math.min(7, (lum / 32.0).toInt)) += 1L
               if (x > 0) { grad += math.abs(lum - prevL); gradN += 1 }
               prevL = lum
               x += 1
@@ -145,7 +155,7 @@ object Multimodal {
           }
           val n = w.toLong * h
           var b = 0
-          while (b < 8) { feats(b) /= n; b += 1 }
+          while (b < 8) { feats(b) = lumCounts(b).toFloat / n; b += 1 }
           feats(8) = (sumR / n / 255.0).toFloat
           feats(9) = (sumG / n / 255.0).toFloat
           feats(10) = (sumB / n / 255.0).toFloat
