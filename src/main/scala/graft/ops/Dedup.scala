@@ -290,6 +290,29 @@ object Dedup {
     ((Seq(cold) ++ tilePairs ++ starPairs).reduce(_ unionByName _), totalRows)
   }
 
+  /** Rebalance an under-partitioned input scan: the CPU-heavy typed
+    * stages downstream (shingling, minhash, normalization) inherit the
+    * SCAN's partitioning, and a small corpus packs into 1-2 scan splits
+    * (openCostInBytes file packing) — serializing those stages
+    * regardless of available cores. Same guard as RunPipeline's encode
+    * rebalance: a 100 TB scan has thousands of partitions, so this
+    * never fires at scale and large runs keep the shuffle-free
+    * scan→signature path. Call with scan-shaped inputs (the operators'
+    * documented input contract) — partition-count inspection of an
+    * exchange-bearing plan could trigger upstream work. */
+  private def rebalanced(df: DataFrame): DataFrame = {
+    val minParts = df.sparkSession.sparkContext.defaultParallelism
+    // size gate: only rebalance when there is enough data for the extra
+    // exchange to pay for itself (measured: repartitioning a ~600 KB
+    // 5k-doc table into 64 partitions of ~80 rows DOUBLED its dedup
+    // query time in task overhead, while the ~15 MB 50k-doc scale
+    // corpus gained ~10%). Plan statistics are free for scans.
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes > 8L * 1024 * 1024 && df.rdd.getNumPartitions < minParts)
+      df.repartition(2 * minParts)
+    else df
+  }
+
   /** Collapse identical texts to their min-id representative.
     * Returns (id, rep, text) where `rep == id` marks representatives.
     * Grouping is by (64-bit text digest, text length) — like
@@ -383,7 +406,7 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val withRep = tap("withrep", withTextRep(docs, idCol, textCol)).cache()
+    val withRep = tap("withrep", withTextRep(rebalanced(docs), idCol, textCol)).cache()
     // one pass per representative: rep → (band keys, distinct gram set)
     val sigs = withRep.where($"id" === $"rep").select($"id", $"text")
       .as[(Long, String)]
@@ -485,7 +508,7 @@ object Dedup {
     import spark.implicits._
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
 
-    val withRep = tap("withrep", withTextRep(docs, idCol, textCol)).cache()
+    val withRep = tap("withrep", withTextRep(rebalanced(docs), idCol, textCol)).cache()
     val sigs = withRep.where($"id" === $"rep").select($"id", $"text")
       .as[(Long, String)]
       .map { case (id, text) => (id, TextOps.simhash(text, seed)) }
@@ -591,7 +614,7 @@ object Dedup {
     // grams0 cached: the stop-gram census and the filtered-index cache
     // fill both scan it — uncached, the shingling flatMap over every
     // text ran twice (released in the finally with the others)
-    val grams0 = docs.select(col(idCol).cast("long").as("id"),
+    val grams0 = rebalanced(docs).select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
@@ -682,7 +705,8 @@ object Dedup {
     // would still land every null row in one artificial hot bucket):
     // exclude such rows, which yields the same pair set a zero vector
     // would (cosine 0 < any positive threshold) without the bucket skew
-    val vecs = embeddings.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val vecs = rebalanced(embeddings)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .where(col("vec").isNotNull)
       .as[(Long, Seq[Float])]
       .map { case (id, v) =>
