@@ -170,6 +170,54 @@ class OpsSpec extends AnyFunSuite {
 
   // ---------------- dedup scale guards ----------------
 
+  test("bucketPairs cold stream (list expansion) matches the naive self-join, " +
+    "including duplicate (bucket, id) rows") {
+    // round-6 internals change: cold buckets expand pairs from a
+    // collect_list instead of an equi-self-join — the emitted MULTISET
+    // must match a.id < b.id join semantics exactly, including the
+    // duplicate-row edge (two copies of id 10 yield (10,11) twice and
+    // never a (10,10) self-pair)
+    val rows = Seq((1L, 10L), (1L, 10L), (1L, 11L), (2L, 5L), (2L, 6L), (2L, 7L),
+      (3L, 42L)) // singleton bucket emits nothing
+    val df = rows.toDF("bucket", "id")
+    val got = Dedup.bucketPairs(df, pairBudget = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val naive = df.as("a").join(df.as("b"), "bucket")
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == naive, s"cold pair multiset diverged: $got vs $naive")
+  }
+
+  test("minhashLsh keeper equals an independently computed min(id) per cluster") {
+    // round-6 internals change: expandReps emits keeper = clusterId on
+    // the proof that min(id) per cluster IS the cluster label (members
+    // >= their rep; CC labels by min rep). Check the identity against
+    // an independent aggregate over the OUTPUT, on a corpus that has
+    // byte-identical copies (collapse groups), a near-dup merge, and a
+    // singleton.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val docs = Seq(
+      (10L, base), (11L, base), // identical copies -> collapse group
+      (12L, base + " near"), // near-dup of the group
+      (20L, "one two three four five six seven eight nine ten " * 4),
+      (21L, "one two three four five six seven eight nine ten " * 4),
+      (30L, "completely different text with its very own words here now " * 4))
+      .toDF("id", "text")
+    val out = Dedup.minhashLsh(docs, "id", "text", jaccardThreshold = 0.3)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.unpersist()
+    assert(rows.map(_._1).toSet == Set(10L, 11L, 12L, 20L, 21L, 30L))
+    val minPerCluster = rows.groupBy(_._2).map { case (c, rs) => c -> rs.map(_._1).min }
+    rows.foreach { case (id, cluster, keeper) =>
+      assert(keeper == minPerCluster(cluster),
+        s"id $id: keeper $keeper != independent min ${minPerCluster(cluster)}")
+    }
+    // the corpus above must actually exercise a merged multi-member
+    // cluster (10, 11, 12 together) for the check to mean anything
+    assert(rows.filter(r => Set(10L, 11L, 12L).contains(r._1)).map(_._2).toSet.size == 1)
+  }
+
   test("bucketPairs: hot-bucket triangle tiling is exact and bounded") {
     // one hot bucket (300 rows => 44850 pairs >> budget 100) + one cold
     val n = 300
