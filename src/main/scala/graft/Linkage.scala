@@ -472,8 +472,8 @@ object Linkage {
   def run(pages: DataFrame, params: LinkageParams,
       dsetIdExpr: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
     val pairs = candidatePairs(pages, params, dsetIdExpr)
-    // candidatePairs already returns a cached+materialized frame on the
-    // no-checkpoint path — don't re-cache (double-cache warning)
+    // don't re-cache a frame a caller (or a future candidatePairs
+    // variant) already persisted — avoids the double-cache warning
     val reusable =
       if (params.checkpointDir.isDefined ||
         pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE) pairs
